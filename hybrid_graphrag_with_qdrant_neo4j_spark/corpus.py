@@ -1,0 +1,209 @@
+"""Deterministic synthetic Common-Crawl-style corpus (seed=42, in-repo,
+no external data).
+
+Generates the ``pages`` input table of BASELINE.json's ``input_hint``:
+    (url string, warc_ts timestamp, html binary, text string, lang string)
+
+Design (FIXTURES.md §1):
+  - text = declarative SVO sentences drawn from a fixed template bank, so
+    the pattern triple-extractor has *known* (s,p,o) answers;
+  - the entity vocabulary is Zipf-skewed with one very hot entity
+    appearing in ~20% of sentences (exercises salted aggregation /
+    AQE skew-join);
+  - entity alias variants ("Acme Corporation" vs "Acme Corporation." vs
+    "ACME Corporation") exercise exact-lowercase merging and
+    embedding-similarity merging (cosine >= 0.96, triplets.py:257-261)
+    plus connected-components canonicalization;
+  - ~5% of pages are latin-1 encoded (decode fallback, cli/main.py:134-146),
+    ~2% have an empty body (empty-text edge, ingest.py:75-77);
+  - 90% lang='en'; non-en rows must be filtered before NER/triple stages.
+
+Row i is seeded independently (``seed*1_000_003 + i``), so any row can be
+generated in O(1) on any executor — generation is embarrassingly parallel
+and content never depends on partitioning.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import random
+from typing import Dict, Iterator, List
+
+_EPOCH = _dt.datetime(2025, 1, 1, 0, 0, 0)
+
+# Entity bank: canonical name -> surface aliases.  Aliases differ only in
+# case/punctuation so the hash embedder puts them within cosine 0.96 of
+# each other (embedding-similarity merge) or lowercase-equal (exact merge).
+_COMPANIES: List[List[str]] = [
+    ["Acme Corporation", "Acme Corporation.", "ACME Corporation"],  # hot entity
+    ["Globex Systems", "Globex Systems."],
+    ["Initech Labs", "Initech Labs."],
+    ["Umbrella Works", "UMBRELLA Works"],
+    ["Stark Industries", "Stark Industries."],
+    ["Wayne Enterprises"],
+    ["Tyrell Group", "Tyrell Group."],
+    ["Cyberdyne Research"],
+    ["Hooli Platforms", "Hooli Platforms."],
+    ["Soylent Foods"],
+    ["Vandelay Imports"],
+    ["Wonka Confections"],
+]
+_PEOPLE = [
+    "Alice Harper", "Bob Stone", "Carol Finch", "David Boyd", "Erin Cole",
+    "Frank Ames", "Grace Lane", "Henry Ford", "Irene Katz", "Jack Monroe",
+]
+_CITIES = [
+    "Berlin", "Tokyo", "Austin", "Lagos", "Oslo", "Lima", "Porto", "Delhi",
+]
+_PRODUCTS = [
+    "Quantum Widgets", "Neural Turbines", "Fusion Pumps", "Orbital Drives",
+]
+
+# Each template matches exactly one pattern in textproc._REL_PATTERNS.
+_TEMPLATES = [
+    ("{S} founded {O} in 1999.", "founded", "person", "company"),
+    ("{S} acquired {O} last year.", "acquired", "company", "company"),
+    ("{S} works at {O} as an engineer.", "works at", "person", "company"),
+    ("{S} is the CEO of {O} since 2015.", "leads", "person", "company"),
+    ("{S} partnered with {O} on a joint venture.", "partnered with", "company", "company"),
+    ("{S} is based in {O} near the river.", "based in", "company", "city"),
+    ("{S} invested in {O} during the downturn.", "invested in", "company", "company"),
+    ("{S} competes with {O} across three markets.", "competes with", "company", "company"),
+    ("{S} develops {O} for industrial clients.", "develops", "company", "product"),
+    ("{S} sued {O} over patent claims.", "sued", "company", "company"),
+]
+# Filler sentences with no extractable SVO (negative examples for P/R).
+_FILLERS = [
+    "the quarterly report was longer than expected.",
+    "several markets moved sideways all week.",
+    "analysts were unsure about the outlook.",
+    "rain delayed the annual shareholder meeting.",
+    "no further details were made public.",
+]
+_NONEN_SENTENCES = {
+    "de": "der bericht wurde gestern veroeffentlicht und enthielt zahlen.",
+    "fr": "le rapport a ete publie hier avec des chiffres detailles.",
+    "zz": "zxq vlorp trannik suvol empra quild noster vamp.",
+}
+
+
+def _pick_company(rng: random.Random) -> str:
+    """Zipf-ish pick: company 0 ('Acme') with p=0.20, then harmonic tail."""
+    if rng.random() < 0.20:
+        group = _COMPANIES[0]
+    else:
+        weights = [1.0 / (i + 1) for i in range(1, len(_COMPANIES))]
+        total = sum(weights)
+        r = rng.random() * total
+        acc = 0.0
+        group = _COMPANIES[-1]
+        for i, w in enumerate(weights):
+            acc += w
+            if r <= acc:
+                group = _COMPANIES[i + 1]
+                break
+    return group[rng.randrange(len(group))]
+
+
+def _surface(kind: str, rng: random.Random) -> str:
+    if kind == "company":
+        return _pick_company(rng)
+    if kind == "person":
+        return _PEOPLE[rng.randrange(len(_PEOPLE))]
+    if kind == "city":
+        return _CITIES[rng.randrange(len(_CITIES))]
+    return _PRODUCTS[rng.randrange(len(_PRODUCTS))]
+
+
+def _page_text(rng: random.Random, n_sentences: int) -> str:
+    sents = []
+    for _ in range(n_sentences):
+        if rng.random() < 0.30:
+            sents.append(_FILLERS[rng.randrange(len(_FILLERS))])
+        else:
+            tpl, _rel, skind, okind = _TEMPLATES[rng.randrange(len(_TEMPLATES))]
+            sents.append(tpl.format(S=_surface(skind, rng), O=_surface(okind, rng)))
+    return " ".join(sents)
+
+
+def _render_html(title: str, body_text: str) -> str:
+    # one <p> per sentence, delimiter kept — tag-strip + whitespace
+    # collapse reproduces body_text byte-for-byte
+    paras = "".join(f"<p>{s} </p>" for s in body_text.split(" "))
+    return (
+        "<html><head><title>" + title + "</title>"
+        "<style>p{margin:0}</style>"
+        "<script>var x=1;</script></head>"
+        "<body>" + paras + "</body></html>"
+    )
+
+
+def page_row(i: int, seed: int = 42, sentences_per_page: int = 12) -> Dict:
+    """Generate page row i in O(1)."""
+    rng = random.Random(seed * 1_000_003 + i)
+    url = f"https://site{i % 97}.example/page/{i}"
+    warc_ts = _EPOCH + _dt.timedelta(seconds=37 * i)
+    r = rng.random()
+    lang = "en" if r < 0.90 else ("de", "fr", "zz")[i % 3]
+    if rng.random() < 0.02:
+        text = ""
+        html = "<html><head><title>t</title></head><body></body></html>"
+    elif lang == "en":
+        text = _page_text(rng, sentences_per_page)
+        html = _render_html(f"Page {i}", text)
+    else:
+        text = _NONEN_SENTENCES[lang]
+        html = _render_html(f"Seite {i}", text)
+    encoding = "latin-1" if rng.random() < 0.05 else "utf-8"
+    return {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html.encode(encoding, errors="replace"),
+        "text": text,
+        "lang": lang,
+    }
+
+
+def generate_pages(
+    n: int, seed: int = 42, sentences_per_page: int = 12
+) -> Iterator[Dict]:
+    """Yield all n page rows (single-process oracle path)."""
+    for i in range(n):
+        yield page_row(i, seed=seed, sentences_per_page=sentences_per_page)
+
+
+PAGES_SCHEMA_DDL = (
+    "url string, warc_ts timestamp, html binary, text string, lang string"
+)
+
+
+def pages_spark_df(spark, n: int, seed: int = 42, partitions: int = 32,
+                   sentences_per_page: int = 12):
+    """Distributed generation: parallelize index ranges; each executor
+    generates its own rows (no driver-side page bodies; scales linearly
+    with cores — the same shape a real WARC scan would have)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    per = (n + partitions - 1) // partitions
+
+    def _gen_partition(pidx_iter):
+        for pidx in pidx_iter:
+            start = pidx * per
+            stop = min(start + per, n)
+            for i in range(start, stop):
+                row = page_row(i, seed=seed, sentences_per_page=sentences_per_page)
+                yield (row["url"], row["warc_ts"], row["html"], row["text"], row["lang"])
+
+    rdd = spark.sparkContext.parallelize(range(partitions), partitions).mapPartitions(
+        _gen_partition
+    )
+    return spark.createDataFrame(rdd, schema)

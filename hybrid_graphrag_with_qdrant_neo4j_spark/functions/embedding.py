@@ -1,0 +1,75 @@
+"""Embedding UDFs + JVM-side vector math.
+
+The reference embeds with SentenceTransformer E5 (common.py:50-98) and
+caches the model per process (common.py:19-48).  Here:
+
+  - ``embed_udf``: Arrow-batched Iterator pandas UDF — the iterator form
+    is the Spark idiom for the reference's per-process model cache (any
+    heavy model would be loaded once per python worker in the generator
+    prologue).  Test mode uses the deterministic hash embedder.
+  - dot / cosine / norms are JVM-side ``aggregate``/``zip_with`` column
+    expressions (whole-stage codegen; no Python in the scoring hot path).
+    Accumulation is sequential over the array, in double — bit-identical
+    to the single-process oracle on float32 inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, functions as F, types as T
+
+from .. import textproc as tp
+
+EMBED_DIM = tp.EMBED_DIM
+
+
+@F.pandas_udf(T.ArrayType(T.FloatType()))
+def embed_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    # model-init-once-per-worker would go here (common.py:19-48 analogue)
+    for texts in batches:
+        yield texts.map(lambda t: tp.embed_text_py(t if t is not None else ""))
+
+
+def embed(col: Column, prefix: str | None = None) -> Column:
+    """Embed a text column.  ``prefix`` mirrors the reference's e5
+    ``passage:``/``query:`` prefixes (common.py:73-82, retrieval.py:93);
+    the hash embedder strips them, so it only documents intent here."""
+    c = F.concat(F.lit(prefix), col) if prefix else col
+    return embed_udf(c)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity with zero-norm guard (common.py:92-98 fallback)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na == 0.0) | (nb == 0.0), F.lit(0.0)).otherwise(
+        dot(a, b) / (na * nb)
+    )
+
+
+def query_vector_lit(text: str) -> Column:
+    """Embed a query string driver-side into a literal column (tiny —
+    broadcast into the scan, retrieval.py:79-105 semantics with the
+    ``query:`` prefix)."""
+    vec = tp.embed_text_py("query: " + text)
+    return F.array(*[F.lit(v).cast("float") for v in vec])

@@ -1,0 +1,122 @@
+"""Text analysis for training-data curation: language-ID, quality
+scoring, token counting, document fingerprinting.
+
+All pure built-in column expressions (whole-stage codegen; no Python in
+the hot path) with exact DuckDB-SQL twins in __spark_entry__.oracle_sql.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..stopwords import STOPWORDS_SORTED
+
+_TOKEN_PATTERN = "[a-z0-9]+"
+# a small, frozen high-frequency english marker set for the language-ID
+# heuristic (subset of the stopword fixture)
+EN_MARKERS = (
+    "the", "and", "of", "to", "a", "in", "is", "was", "for", "with",
+    "on", "at", "by", "an", "be", "this", "that", "from", "or", "as",
+)
+
+
+def tokens(text_col: Column) -> Column:
+    """Lowercase alnum token array (JVM regex; the UDF tokenizer in
+    textproc is the parity twin for reference-semantics stages — this one
+    is the fast path for curation analytics)."""
+    return F.regexp_extract_all(F.lower(text_col), F.lit(_TOKEN_PATTERN), 0)
+
+
+def token_count(text_col: Column) -> Column:
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column) -> Column:
+    """BPE-style subword count approximation: word tokens + punctuation
+    runs, where long words cost ceil(len/4) subwords (the ~4-chars-per-
+    token rule of thumb)."""
+    words = F.regexp_extract_all(F.lower(text_col), F.lit("[a-z0-9]+|[^a-z0-9\\s]+"), 0)
+    return F.aggregate(
+        words,
+        F.lit(0),
+        lambda acc, w: acc + F.ceil(F.length(w) / F.lit(4.0)).cast("int"),
+    )
+
+
+def stopword_ratio(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    stops = F.array(*[F.lit(s) for s in STOPWORDS_SORTED])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stops, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_stop.cast("double") / F.size(toks)
+    )
+
+
+def punct_ratio(text_col: Column) -> Column:
+    n_punct = F.length(F.regexp_replace(text_col, "[^.,;:!?]", ""))
+    return F.when(F.length(text_col) == 0, F.lit(0.0)).otherwise(
+        n_punct.cast("double") / F.length(text_col)
+    )
+
+
+def mean_token_len(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(toks)
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Weighted curation score in [0,1]: favors mid-length docs with
+    sane punctuation and a natural-language stopword ratio (the
+    reference's scoring idiom: weighted sums with clamps,
+    trend_detector.py:305-334 / marketing_insights.py:18-81)."""
+    n = token_count(text_col).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text_col) * F.lit(3.0), F.lit(1.0))
+    punct_penalty = F.greatest(
+        F.lit(1.0) - punct_ratio(text_col) * F.lit(5.0), F.lit(0.0)
+    )
+    return F.round(
+        F.lit(0.4) * len_score + F.lit(0.3) * stop_score + F.lit(0.3) * punct_penalty,
+        6,
+    )
+
+
+def en_marker_ratio(text_col: Column) -> Column:
+    toks = tokens(text_col)
+    markers = F.array(*[F.lit(m) for m in EN_MARKERS])
+    n_m = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        n_m.cast("double") / F.size(toks)
+    )
+
+
+def predict_lang(text_col: Column, threshold: float = 0.08) -> Column:
+    """n-gram-heuristic language ID: english iff the frozen marker-word
+    ratio clears the threshold."""
+    return F.when(en_marker_ratio(text_col) >= threshold, F.lit("en")).otherwise(
+        F.lit("other")
+    )
+
+
+def fingerprint(text_col: Column) -> Column:
+    """Normalized-content fingerprint: md5 over the space-joined token
+    stream — whitespace/case/punct-insensitive identity for dedup."""
+    return F.md5(F.concat_ws(" ", tokens(text_col)))
+
+
+def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    c = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_subwords"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(mean_token_len(c), 6).alias("mean_token_len"),
+        quality_score(c).alias("quality"),
+        predict_lang(c).alias("pred_lang"),
+        fingerprint(c).alias("fingerprint"),
+    )

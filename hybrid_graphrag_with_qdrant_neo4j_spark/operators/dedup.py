@@ -1,0 +1,270 @@
+"""Document deduplication for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Not in the reference (its MERGE-dedup is row-identity only,
+SURVEY.md A4); these are the first-class additions the 100 TB corpus
+path needs.  All hashing is crc32/md5-derived — deterministic across
+executors and platforms.
+
+Scale notes per operator are inline; the common theme: shingle/signature
+generation is one Arrow UDF pass, candidate generation is a band-bucket
+equi-join (never an all-pairs cross join), and verification re-checks
+exact similarity only inside buckets.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+from .. import textproc as tp
+from ..functions import embedding as E
+
+# ---------------------------------------------------------------------------
+# Exact dedup — hash-groupBy
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the min-id representative per identical (md5) text.  One
+    shuffle on the 128-bit hash (never on the text bytes); partial
+    aggregation collapses duplicates map-side, so even a corpus that is
+    90% boilerplate duplicates shuffles only distinct hashes + ids."""
+    return (
+        docs.withColumn("_h", F.md5(F.col(text_col)))
+        .groupBy("_h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("group_size"),
+        )
+        .select("keep_id", "group_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH — shingle -> minhash -> band -> bucket-join
+# ---------------------------------------------------------------------------
+
+def _crc(s: str, salt: int) -> int:
+    return zlib.crc32((f"{salt}:" + s).encode("utf-8")) & 0xFFFFFFFF
+
+
+def minhash_signature_py(text: str, num_hashes: int, shingle_k: int) -> List[int]:
+    toks = [w.lower() for w in tp.word_tokenize(text or "") if w.isalnum()]
+    shingles = {
+        " ".join(toks[i : i + shingle_k]) for i in range(max(len(toks) - shingle_k + 1, 0))
+    } or {""}
+    return [min(_crc(s, h) for s in shingles) for h in range(num_hashes)]
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: minhash_signature_py(t, num_hashes, shingle_k))
+
+    return docs.select(F.col(id_col).alias("doc_id"), sig(F.col(text_col)).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame,
+    num_bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """Band the signature, bucket-join per band, then verify with the
+    *estimated* Jaccard = fraction of agreeing minhashes over the full
+    signature.  Shuffle volume is O(rows × bands), never O(rows²)."""
+    rows_per_band = num_hashes // num_bands
+    banded = signatures.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.slice(
+                    "sig", b * rows_per_band + 1, rows_per_band
+                ).cast("array<string>"),
+            )
+        ).alias("band", "band_sig"),
+    ).withColumn("band_key", F.concat_ws(",", F.col("band_sig")))
+    l, r = banded.alias("l"), banded.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.sig").alias("sig_a"),
+            F.col("r.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_hashes))
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 64-bit fingerprint; near-dup if hamming distance small
+# ---------------------------------------------------------------------------
+
+def simhash_py(text: str) -> int:
+    toks = [w.lower() for w in tp.word_tokenize(text or "") if w.isalnum()]
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = (_crc(t, 0) << 32) | _crc(t, 1)
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    # represent as signed 64-bit for Spark LongType
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def simhash_docs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return texts.map(simhash_py)
+
+    return docs.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_dup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Block on 4 x 16-bit chunks (pigeonhole: distance <= 3 means at
+    least one chunk is identical), join per chunk, verify exact hamming
+    via bit_count(xor) — JVM-side, no UDF."""
+    chunks = hashes.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned(F.col("simhash"), 16 * i) % F.lit(1 << 16)).cast("long")
+                    for i in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("h_a"),
+            F.col("r.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (blocked) — verification-grade near-dup
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list | None = None,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact token-set Jaccard within blocks.  Blocking keys (defaults:
+    none -> single block; callers MUST block at scale) bound the pair
+    blowup; token sets are JVM arrays, intersection/union via
+    array_intersect/array_union — fully codegen'd."""
+    toks = F.array_distinct(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *(block_cols or []),
+        F.array_sort(toks).alias("tokens"),
+    )
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.doc_id") < F.col("r.doc_id")
+    for c in block_cols or []:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    jac = F.size(F.array_intersect(F.col("l.tokens"), F.col("r.tokens"))) / F.size(
+        F.array_union(F.col("l.tokens"), F.col("r.tokens"))
+    )
+    return (
+        l.join(r, cond)
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    threshold: float = 0.95,
+    block_expr=None,
+) -> DataFrame:
+    """Cosine >= threshold pairs.  block_expr (a Column) optionally
+    restricts the self-join (e.g. LSH band or coarse cluster id); without
+    it this is the exact O(n²) verifier for small n."""
+    base = embeddings.select(F.col(id_col).alias("vid"), F.col(emb_col).alias("emb"))
+    if block_expr is not None:
+        base = base.withColumn("_blk", block_expr)
+    l, r = base.alias("l"), base.alias("r")
+    cond = F.col("l.vid") < F.col("r.vid")
+    if block_expr is not None:
+        cond = cond & (F.col("l._blk") == F.col("r._blk"))
+    return (
+        l.join(r, cond)
+        .withColumn("cos", E.cosine(F.col("l.emb"), F.col("r.emb")))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("l.vid").alias("id_a"),
+            F.col("r.vid").alias("id_b"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Entity linking: LSH blocking + exact cosine threshold (SURVEY.md J5/J6).
+
+Reference semantics (triplets.py:252-343): an entity merges with
+  (a) entities whose lowercase name matches exactly (equi-join — free,
+      since our entity node key IS the lowercase name), and
+  (b) entities whose embedding cosine >= 0.96 (triplets.py:257-261).
+The reference capped (b) at the top-10 vector-search hits; our blocking
+is recall-complete at the threshold instead (a strict superset of the
+reference's merges — documented in BENCH/BASELINE.md).
+
+Scale shape: random-hyperplane signatures (signed projections against a
+seeded plane matrix, numpy matmul inside an Arrow UDF) -> explode one row
+per band -> self-join on (band, signature) -> exact cosine re-check
+JVM-side.  Banding keeps the self-join selective: unrelated vectors agree
+per bit with p=0.5, so a b-bit band collides at 2^-b; near-duplicates at
+cosine 0.96 agree per bit with p≈0.91, so B bands of b bits give recall
+1-(1-0.91^b)^B (defaults b=12, B=32 -> miss ≈ 4e-6).  AQE skew-join
+handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from ..functions import embedding as E
+
+LINK_THRESHOLD = 0.96
+DEFAULT_BANDS = 32
+DEFAULT_BITS = 12
+_LSH_SEED = 42
+
+
+def entity_nodes(triples: DataFrame) -> DataFrame:
+    """Distinct lowercase entity names + embeddings.
+    entities(name, embedding)."""
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .unionByName(triples.select(F.col("obj").alias("name")))
+        .dropDuplicates(["name"])
+    )
+    return names.withColumn("embedding", E.embed(F.col("name"), prefix="passage: "))
+
+
+def _signature_udf(dim: int, num_bands: int, bits: int):
+    n_planes = num_bands * bits
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def signatures(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        rng = np.random.default_rng(_LSH_SEED)
+        planes = rng.standard_normal((dim, n_planes)).astype(np.float64)
+        weights = (1 << np.arange(bits, dtype=np.int64))
+        for embs in batches:
+            mat = np.stack(embs.to_numpy())  # (n, dim) float32
+            bits_mat = (mat.astype(np.float64) @ planes) >= 0.0  # (n, n_planes)
+            per_band = bits_mat.reshape(len(embs), num_bands, bits)
+            sigs = (per_band * weights).sum(axis=2)  # (n, num_bands) int64
+            yield pd.Series(list(sigs))
+
+    return signatures
+
+
+def similarity_pairs(
+    entities: DataFrame,
+    threshold: float = LINK_THRESHOLD,
+    num_bands: int = DEFAULT_BANDS,
+    bits: int = DEFAULT_BITS,
+    dim: int = E.EMBED_DIM,
+) -> DataFrame:
+    """Candidate blocking + exact re-check -> pairs(name_a, name_b) with
+    cosine >= threshold, name_a < name_b.  Exact re-check keeps precision
+    identical to the reference's threshold (SURVEY.md §7 hard parts)."""
+    sigs = entities.withColumn(
+        "sig", _signature_udf(dim, num_bands, bits)(F.col("embedding"))
+    ).select(
+        "name",
+        "embedding",
+        F.posexplode("sig").alias("band", "band_sig"),
+    )
+    left = sigs.alias("l")
+    right = sigs.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.name") < F.col("r.name")),
+        )
+        .select(
+            F.col("l.name").alias("name_a"),
+            F.col("r.name").alias("name_b"),
+            F.col("l.embedding").alias("emb_a"),
+            F.col("r.embedding").alias("emb_b"),
+        )
+        .dropDuplicates(["name_a", "name_b"])  # same pair from many bands
+    )
+    return (
+        cand.withColumn("cos", E.cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("name_a", "name_b")
+    )
+
+
+def similarity_pairs_bruteforce(
+    entities: DataFrame, threshold: float = LINK_THRESHOLD
+) -> DataFrame:
+    """O(n^2) exact pair generation — the degraded plan for tiny entity
+    sets (mirrors the reference's no-vector-index fallback,
+    triplets.py:310-343, where blocking is unnecessary)."""
+    a = entities.select(F.col("name").alias("name_a"), F.col("embedding").alias("emb_a"))
+    b = entities.select(F.col("name").alias("name_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("name_a") < F.col("name_b"))
+        .withColumn("cos", E.cosine(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("name_a", "name_b")
+    )

@@ -1,0 +1,219 @@
+"""Retrieval: vector top-k, term search, entity/relationship lookup,
+hybrid min-max fusion, context-window expansion (SURVEY.md §2.4-2.7,
+reference graphrag/core/retrieval.py).
+
+Every function takes/returns DataFrames so retrieval modes compose the
+way the reference's retriever classes did — but set-oriented: the
+reference's per-hit Neo4j round trips (retrieval.py:144-152, 447-466)
+become joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import embedding as E
+
+
+# ---------------------------------------------------------------------------
+# Vector retrieval (S5 + T1; reference retrieval.py:107-161 via Qdrant)
+# ---------------------------------------------------------------------------
+
+def vector_search(
+    chunk_embeddings: DataFrame, query_text: str, top_k: int = 10
+) -> DataFrame:
+    """Brute-force scored scan + distributed top-k.
+
+    The query vector is a literal (broadcast into the scan); scoring is a
+    JVM-side dot product (embeddings are L2-normalized, so dot == cosine,
+    common.py:86 + ingest.py:119); ``orderBy(desc).limit(k)`` compiles to
+    TakeOrderedAndProject — partial top-k per partition, k rows to the
+    driver.  At 10^12 scale the same plan runs behind an LSH/IVF
+    pre-filter (see operators.similarity.ann_lsh_topk).
+    """
+    q = E.query_vector_lit(query_text)
+    return (
+        chunk_embeddings.withColumn("score", E.dot(F.col("embedding"), q))
+        .orderBy(F.desc("score"), F.asc("chunk_id"))
+        .limit(top_k)
+        .select("chunk_id", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Term search (J2 + A1 + T2; reference retrieval.py:193-229)
+# ---------------------------------------------------------------------------
+
+def term_search(
+    term_edges: DataFrame, query_terms: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """query_terms(term, score) ⋈ term_chunk_edges -> sum score per chunk
+    -> top-k.  The query side is tiny -> broadcast hash join; the
+    aggregation is partial map-side before the single shuffle."""
+    joined = term_edges.join(F.broadcast(query_terms), "term")
+    return (
+        joined.groupBy("chunk_id")
+        .agg(F.sum("score").alias("score"))
+        .orderBy(F.desc("score"), F.asc("chunk_id"))
+        .limit(top_k)
+    )
+
+
+def query_to_terms(spark, query: str) -> DataFrame:
+    """Unigrams of the query with uniform score 1.0 (the reference scores
+    each matched term equally, retrieval.py:206-214)."""
+    from .. import textproc as tp
+
+    uni, bi, tri = tp.extract_ngrams(query)
+    terms = [(t, 1.0) for t in dict.fromkeys(uni + bi + tri)]
+    return spark.createDataFrame(terms or [("", 0.0)], "term string, score double")
+
+
+# ---------------------------------------------------------------------------
+# Entity / relationship lookup (J3, J4; reference retrieval.py:244-294)
+# ---------------------------------------------------------------------------
+
+def entity_search(
+    mentions: DataFrame, entity_names: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Chunks mentioning any of the probe entities (fixed vs the
+    reference's dead MENTIONS_ENTITY branch, retrieval.py:244-250)."""
+    return (
+        mentions.join(F.broadcast(entity_names), ["entity_name"], "left_semi")
+        .select("chunk_id")
+        .distinct()
+        .orderBy("chunk_id")
+        .limit(top_k)
+    )
+
+
+def relationship_search(
+    edges: DataFrame, entity_name: str, relation_keyword: str = ""
+) -> DataFrame:
+    """Outgoing edges of an entity, optionally filtered by a
+    case-insensitive relation keyword (retrieval.py:277-294)."""
+    out = edges.filter(F.col("subj_id") == entity_name.lower())
+    if relation_keyword:
+        out = out.filter(F.col("pred").rlike(f"(?i).*{relation_keyword}.*"))
+    return out.select("subj_id", "pred", "obj_id", "chunk_id")
+
+
+def query_entity_candidates(query: str) -> list:
+    """Capitalized-phrase candidates (retrieval.py:332,622 regex)."""
+    import re
+
+    return re.findall(r"[A-Z][a-z]+(?:\s+[A-Z][a-z]+)*", query)
+
+
+# ---------------------------------------------------------------------------
+# Score normalization + hybrid fusion (A3 + J8; retrieval.py:550-605)
+# ---------------------------------------------------------------------------
+
+def normalize_scores(results: DataFrame, score_col: str = "score") -> DataFrame:
+    """Min-max normalize to [0,1]; equal min/max -> all 1.0
+    (retrieval.py:560-562 guard).  Uses an unpartitioned window over the
+    (tiny, already top-k'd) result set — never applied to large inputs."""
+    w = Window.partitionBy()
+    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
+    return results.withColumn(
+        score_col,
+        F.when(mx == mn, F.lit(1.0)).otherwise(
+            (F.col(score_col) - mn) / (mx - mn)
+        ),
+    )
+
+
+def hybrid_fuse(
+    vector_results: DataFrame,
+    graph_results: DataFrame,
+    vector_weight: float = 0.5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Full-outer join on chunk_id, missing side coalesced to 0.0,
+    weighted sum, global top-k (retrieval.py:574-605)."""
+    v = normalize_scores(vector_results).withColumnRenamed("score", "vector_score")
+    g = normalize_scores(graph_results).withColumnRenamed("score", "graph_score")
+    fused = (
+        v.join(g, "chunk_id", "full_outer")
+        .withColumn("vector_score", F.coalesce("vector_score", F.lit(0.0)))
+        .withColumn("graph_score", F.coalesce("graph_score", F.lit(0.0)))
+        .withColumn(
+            "score",
+            F.lit(vector_weight) * F.col("vector_score")
+            + F.lit(1.0 - vector_weight) * F.col("graph_score"),
+        )
+    )
+    return (
+        fused.select("chunk_id", "vector_score", "graph_score", "score")
+        .orderBy(F.desc("score"), F.asc("chunk_id"))
+        .limit(top_k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window expansion (J9; retrieval.py:419-514)
+# ---------------------------------------------------------------------------
+
+def expand_context(
+    matches: DataFrame, chunks: DataFrame, context_size: int = 2
+) -> DataFrame:
+    """The reference walks NEXT/PREV hop-by-hop (context_size×2 Neo4j
+    round trips per match, retrieval.py:447-466); the chain is just
+    index±k within a document, so one range self-join replaces the loop.
+
+    matches(chunk_id, score) -> (chunk_id, doc_id, chunk_index, text,
+    is_match, score) with overlapping windows deduped keep-max-score
+    (retrieval.py:485-509 seen-set semantics).
+    """
+    m = (
+        matches.join(
+            chunks.select("chunk_id", "doc_id", F.col("chunk_index").alias("match_index")),
+            "chunk_id",
+        )
+        .select(
+            F.col("chunk_id").alias("match_chunk_id"),
+            "doc_id",
+            "match_index",
+            "score",
+        )
+    )
+    expanded = m.join(
+        chunks.select("chunk_id", "doc_id", "chunk_index", "text"),
+        ["doc_id"],
+    ).filter(F.abs(F.col("chunk_index") - F.col("match_index")) <= context_size)
+    expanded = expanded.withColumn(
+        "is_match", (F.col("chunk_index") == F.col("match_index"))
+    )
+    # dedup: a chunk pulled by several windows keeps (is_match, score) max
+    w = Window.partitionBy("chunk_id").orderBy(
+        F.desc("is_match"), F.desc("score"), F.asc("match_chunk_id")
+    )
+    return (
+        expanded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("chunk_id", "doc_id", "chunk_index", "text", "is_match", "score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triplet-enriched retrieval (T4; retrieval.py:607-637)
+# ---------------------------------------------------------------------------
+
+def topk_triplets_per_entity(
+    edges: DataFrame, entity_names: DataFrame, top_k: int = 5
+) -> DataFrame:
+    """Per-entity cap then global cap (retrieval.py:629-632): rank window
+    inside entity partitions, then a global limit."""
+    probe = edges.join(
+        F.broadcast(entity_names.select(F.lower("entity_name").alias("subj_id"))),
+        "subj_id",
+        "left_semi",
+    )
+    w = Window.partitionBy("subj_id").orderBy("pred", "obj_id", "chunk_id")
+    return (
+        probe.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .orderBy("subj_id", "pred", "obj_id")
+        .limit(top_k)
+    )

@@ -1,0 +1,151 @@
+"""End-to-end KG construction pipeline (SURVEY.md §3 EP1, north-rule
+pipeline: extract -> chunk/embed -> terms -> mention & triple extraction
+-> link -> canonicalize -> materialize).
+
+Each stage is a checkpointed parquet snapshot (plans.checkpoint), so a
+killed run resumes without recomputing completed stages.  Stage shapes:
+
+  pages          scan (+ explicit url-hash repartition, north_star)
+  text           Arrow UDF extraction from html (byte-identical per url)
+  chunks         pandas-UDF greedy chunker + posexplode
+  embeddings     iterator pandas-UDF hash embedder (model-cache idiom)
+  term_edges     pandas-UDF n-grams + explode + dedup  [en only]
+  triples_raw    pandas-UDF extract + JVM sanitize     [en only]
+  mentions       union-dedup of subj/obj
+  entity_pairs   LSH blocking + exact cosine >= 0.96
+  entities       connected components -> canonical mapping
+  edges          rewrite triples by canonical id + dropDuplicates
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import chunker, components, linking, ngrams, triples as triples_op
+from ..functions import embedding as E
+from ..sources import pages as pages_src
+from .checkpoint import run_stage
+
+
+@dataclass
+class KGBuildResult:
+    tables: dict = field(default_factory=dict)
+    resumed_stages: list = field(default_factory=list)
+
+
+def _fp(*parts) -> str:
+    h = hashlib.sha256("||".join(str(p) for p in parts).encode()).hexdigest()
+    return h[:24]
+
+
+def build_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    input_fingerprint: str,
+    max_tokens: int = 200,
+    num_partitions: int = 32,
+    link_bruteforce_under: int = 10_000,
+) -> KGBuildResult:
+    """Run (or resume) the full pipeline; returns all materialized tables.
+
+    ``input_fingerprint`` identifies the input snapshot (e.g. corpus
+    params or an Iceberg snapshot id); stage fingerprints chain from it,
+    so changing any upstream parameter invalidates exactly the affected
+    suffix of the pipeline.
+    """
+    result = KGBuildResult()
+
+    def stage(name, fingerprint, compute, **kw):
+        sr = run_stage(spark, out_dir, name, fingerprint, compute, **kw)
+        if sr.resumed:
+            result.resumed_stages.append(name)
+        result.tables[name] = sr.df
+        return sr.df
+
+    fp_pages = _fp("pages", input_fingerprint)
+
+    def compute_text():
+        p = pages_src.repartition_by_url(pages, num_partitions)
+        p = pages_src.with_extracted_text(p, out_col="text")
+        return pages_src.with_doc_id(p).select(
+            "url", "warc_ts", "doc_id", "text", "lang"
+        )
+
+    text_df = stage("text", fp_pages, compute_text)
+
+    fp_chunks = _fp("chunks", fp_pages, max_tokens)
+    chunks_df = stage(
+        "chunks", fp_chunks, lambda: chunker.chunk_documents(text_df, max_tokens)
+    )
+
+    fp_emb = _fp("embeddings", fp_chunks)
+    stage(
+        "chunk_embeddings",
+        fp_emb,
+        lambda: chunks_df.select(
+            "chunk_id",
+            "doc_id",
+            "chunk_index",
+            F.substring("text", 1, 1000).alias("text"),  # payload trunc, ingest.py:200
+            E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
+        ),
+    )
+
+    en_chunks = chunks_df.filter(F.col("lang") == "en")
+
+    fp_terms = _fp("term_edges", fp_chunks)
+    stage("term_chunk_edges", fp_terms, lambda: ngrams.term_chunk_edges(en_chunks))
+
+    fp_triples = _fp("triples_raw", fp_chunks)
+    triples_df = stage(
+        "triples_raw", fp_triples, lambda: triples_op.triples_raw(en_chunks)
+    )
+
+    fp_mentions = _fp("mentions", fp_triples)
+    stage("mentions", fp_mentions, lambda: triples_op.mentions(triples_df))
+
+    fp_pairs = _fp("entity_pairs", fp_triples, linking.LINK_THRESHOLD)
+
+    def compute_pairs():
+        ents = linking.entity_nodes(triples_df)
+        n = ents.count()
+        if n <= link_bruteforce_under:
+            return linking.similarity_pairs_bruteforce(ents)
+        return linking.similarity_pairs(ents)
+
+    pairs_df = stage("entity_pairs", fp_pairs, compute_pairs)
+
+    fp_entities = _fp("entities", fp_pairs)
+
+    def compute_entities():
+        names = triples_df.select(F.col("subj").alias("name")).unionByName(
+            triples_df.select(F.col("obj").alias("name"))
+        )
+        mapping = components.canonical_mapping(names, pairs_df)
+        ents = linking.entity_nodes(triples_df)
+        return ents.join(mapping, "name").select("name", "canonical_id", "embedding")
+
+    entities_df = stage("entities", fp_entities, compute_entities)
+
+    fp_edges = _fp("edges", fp_entities)
+
+    def compute_edges():
+        mapping = entities_df.select("name", "canonical_id")
+        # alias-group mapping is small relative to the triple stream ->
+        # broadcast both joins; provenance columns kept (fixes the
+        # reference's null r.source, retrieval.py:283)
+        return (
+            triples_df.join(F.broadcast(mapping.withColumnRenamed("name", "subj")), "subj")
+            .withColumnRenamed("canonical_id", "subj_id")
+            .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
+            .withColumnRenamed("canonical_id", "obj_id")
+            .select("subj_id", "pred", "obj_id", "chunk_id", "url")
+            .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
+        )
+
+    stage("edges", fp_edges, compute_edges)
+    return result
