@@ -1,38 +1,1143 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship KG pipeline; ``queries()`` maps
+every implemented operator (SURVEY.md §2 + the training-data curation
+ops) to a (spark, sf_dir) callable; ``oracle_sql()`` provides DuckDB
+twins.  Column names and value arithmetic are engineered to hash-match
+across engines: money sums go through decimal(18,4) (exact, order-
+insensitive), ratios are single-expression double arithmetic over
+integers (bit-identical), dates are formatted to strings, and every
+LIMIT has a total-order tie-break.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hybrid_graphrag_with_qdrant_neo4j_spark import corpus  # noqa: E402
+from hybrid_graphrag_with_qdrant_neo4j_spark.functions import (  # noqa: E402
+    embedding as EMB,
+    multimodal,
+    text_quality as TQ,
+)
+from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (  # noqa: E402
+    chunker,
+    dedup,
+    linking,
+    components,
+    ngrams,
+    retrieval,
+    similarity,
+    trends,
+    triples as triples_op,
+)
+from hybrid_graphrag_with_qdrant_neo4j_spark.sources import pages as pages_src  # noqa: E402
+from hybrid_graphrag_with_qdrant_neo4j_spark.stopwords import sql_stopword_list  # noqa: E402
+
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec_sum(col, alias):
+    """Exact order-insensitive money sum: round->decimal->sum->double."""
+    return F.sum(F.round(col, 4).cast("decimal(18,4)")).cast("double").alias(alias)
+
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+# ===========================================================================
+# entry — flagship: full KG construction over the synthetic corpus +
+# hybrid retrieval over the result
+# ===========================================================================
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Build the KG from 120 synthetic pages (in-memory, no checkpoints)
+    and also touch the sf0.001 documents table; returns canonical edges."""
+    sf_dir = "/root/testdata/sf0.001"
+    _ = _t(spark, sf_dir, "documents").count()  # contract: load sf0.001
+    pages = corpus.pages_spark_df(spark, 120, partitions=8)
+    p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+    chunks = chunker.chunk_documents(p, max_tokens=80)
+    en = chunks.filter(F.col("lang") == "en")
+    t = triples_op.triples_raw(en)
+    ents = linking.entity_nodes(t)
+    pairs = linking.similarity_pairs_bruteforce(ents)
+    names = t.select(F.col("subj").alias("name")).unionByName(
+        t.select(F.col("obj").alias("name"))
+    )
+    mapping = components.canonical_mapping(names, pairs)
+    edges = (
+        t.join(F.broadcast(mapping.withColumnRenamed("name", "subj")), "subj")
+        .withColumnRenamed("canonical_id", "subj_id")
+        .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
+        .withColumnRenamed("canonical_id", "obj_id")
+        .select("subj_id", "pred", "obj_id", "chunk_id", "url")
+        .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
+    )
+    return edges
 
+
+# ===========================================================================
+# queries + oracles
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---------------- TPC-H-ish relational core ----------------
+
+    def q1_pricing_summary(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "sum_disc_price",
+            ),
+            F.count("*").alias("count_order"),
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_shipping_priority(spark, sf):
+        cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy(
+                "l_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            )
+            .agg(
+                _dec_sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "revenue",
+                )
+            )
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+        )
+
+    q["q3_shipping_priority"] = q3_shipping_priority
+
+    def q5_region_revenue(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        orders = _t(spark, sf, "orders")
+        cust = _t(spark, sf, "customer")
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(
+                _dec_sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    "revenue",
+                )
+            )
+        )
+
+    q["q5_region_revenue"] = q5_region_revenue
+
+    def q6_revenue_delta(spark, sf):
+        li = _t(spark, sf, "lineitem").filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        return li.agg(
+            _dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_rows"),
+        )
+
+    q["q6_revenue_delta"] = q6_revenue_delta
+
+    def q18_large_orders(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(_dec_sum(F.col("l_quantity"), "total_qty"))
+            .filter(F.col("total_qty") > 150)
+        )
+        orders = _t(spark, sf, "orders")
+        return big.join(orders, big.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey",
+            "total_qty",
+            F.col("o_custkey").alias("custkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+
+    q["q18_large_orders"] = q18_large_orders
+
+    def order_rank_per_customer(spark, sf):
+        orders = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "rnk",
+            )
+        )
+
+    q["order_rank_per_customer"] = order_rank_per_customer
+
+    def running_revenue_per_customer(spark, sf):
+        orders = _t(spark, sf, "orders").filter(F.col("o_custkey") % 10 == 0)
+        w = (
+            Window.partitionBy("o_custkey")
+            .orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum(F.round(F.col("o_totalprice"), 4).cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+
+    q["running_revenue_per_customer"] = running_revenue_per_customer
+
+    def top_suppliers_per_nation(spark, sf):
+        supp = _t(spark, sf, "supplier")
+        nation = _t(spark, sf, "nation")
+        w = Window.partitionBy("s_nationkey").orderBy(
+            F.desc("s_acctbal"), F.asc("s_suppkey")
+        )
+        return (
+            supp.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 2)
+            .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+            .select("n_name", "s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"), "rnk")
+        )
+
+    q["top_suppliers_per_nation"] = top_suppliers_per_nation
+
+    # ---------------- documents: text curation ops ----------------
+
+    def doc_unigram_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        toks = docs.select(F.explode(TQ.tokens(F.col("text"))).alias("term"))
+        stop = set(__import__(
+            "hybrid_graphrag_with_qdrant_neo4j_spark.stopwords", fromlist=["STOPWORDS"]
+        ).STOPWORDS)
+        return (
+            toks.filter(~F.col("term").isin(list(stop)))
+            .groupBy("term")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("term"))
+            .limit(50)
+        )
+
+    q["doc_unigram_counts"] = doc_unigram_counts
+
+    def doc_bigram_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        toks = TQ.tokens(F.col("text"))
+        bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+            )
+        )
+        return (
+            docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("bigram"))
+            .limit(50)
+        )
+
+    q["doc_bigram_counts"] = doc_bigram_counts
+
+    def term_search_docs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        qterms = spark.createDataFrame(
+            [("spark", 1.0), ("join", 1.0), ("window", 1.0), ("stream", 1.0)],
+            "term string, score double",
+        )
+        toks = docs.select(
+            "doc_id", F.explode(F.array_distinct(TQ.tokens(F.col("text")))).alias("term")
+        )
+        return (
+            toks.join(F.broadcast(qterms), "term")
+            .groupBy("doc_id")
+            .agg(F.sum("score").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(20)
+        )
+
+    q["term_search_docs"] = term_search_docs
+
+    def doc_token_stats(spark, sf):
+        docs = _t(spark, sf, "documents")
+        c = F.col("text")
+        return docs.select(
+            "doc_id",
+            TQ.token_count(c).alias("n_tokens"),
+            F.length(c).alias("n_chars_actual"),
+            F.round(TQ.mean_token_len(c), 6).alias("mean_token_len"),
+        )
+
+    q["doc_token_stats"] = doc_token_stats
+
+    def subword_token_counts(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id", TQ.bpe_ish_token_count(F.col("text")).alias("n_subwords")
+        )
+
+    q["subword_token_counts"] = subword_token_counts
+
+    def exact_dedup_docs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.exact_dedup(docs, id_col="doc_id", text_col="text")
+
+    q["exact_dedup_docs"] = exact_dedup_docs
+
+    def doc_fingerprints(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select("doc_id", TQ.fingerprint(F.col("text")).alias("fingerprint"))
+
+    q["doc_fingerprints"] = doc_fingerprints
+
+    def quality_scores(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            F.round(TQ.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+            F.round(TQ.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+            TQ.quality_score(F.col("text")).alias("quality"),
+        )
+
+    q["quality_scores"] = quality_scores
+
+    def lang_id_heuristic(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            TQ.predict_lang(F.col("text")).alias("pred_lang"),
+            "lang",
+        )
+
+    q["lang_id_heuristic"] = lang_id_heuristic
+
+    def jaccard_near_dups(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return dedup.ngram_jaccard_pairs(
+            docs.filter(F.col("doc_id") % 5 == 0),
+            block_cols=["lang"],
+            threshold=0.82,
+        )
+
+    q["jaccard_near_dups"] = jaccard_near_dups
+
+    def stopword_ratio_by_lang(spark, sf):
+        docs = _t(spark, sf, "documents")
+        per_doc = docs.select(
+            "lang", F.round(TQ.stopword_ratio(F.col("text")), 6).alias("r")
+        )
+        return per_doc.groupBy("lang").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("r").cast("decimal(18,6)")).cast("double").alias("sum_ratio"),
+        )
+
+    q["stopword_ratio_by_lang"] = stopword_ratio_by_lang
+
+    # ---------------- embeddings: similarity search ----------------
+
+    def knn_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        return similarity.brute_force_topk(emb, qvec, top_k=10)
+
+    q["knn_topk"] = knn_topk
+
+    def embedding_norms(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        return emb.select(
+            "vec_id", F.round(EMB.l2_norm(F.col("embedding")), 6).alias("norm")
+        )
+
+    q["embedding_norms"] = embedding_norms
+
+    def cosine_dup_pairs(spark, sf):
+        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 4 == 0)
+        return dedup.embedding_near_dup_pairs(emb, threshold=0.30)
+
+    q["cosine_dup_pairs"] = cosine_dup_pairs
+
+    # ---------------- events: trend analytics sidecar ----------------
+
+    def daily_event_counts(spark, sf):
+        return trends.daily_counts(_t(spark, sf, "events"))
+
+    q["daily_event_counts"] = daily_event_counts
+
+    def event_velocity(spark, sf):
+        return trends.velocity(_t(spark, sf, "events"))
+
+    q["event_velocity"] = event_velocity
+
+    def distinct_daily_adopters(spark, sf):
+        return trends.distinct_adopters(_t(spark, sf, "events"))
+
+    q["distinct_daily_adopters"] = distinct_daily_adopters
+
+    def moving_avg_3d(spark, sf):
+        return trends.moving_average(_t(spark, sf, "events"), periods=3)
+
+    q["moving_avg_3d"] = moving_avg_3d
+
+    def viral_coefficient(spark, sf):
+        return trends.viral_coefficient(_t(spark, sf, "events"))
+
+    q["viral_coefficient"] = viral_coefficient
+
+    def trend_classification(spark, sf):
+        return trends.classify_trends(_t(spark, sf, "events"))
+
+    q["trend_classification"] = trend_classification
+
+    def user_sessions(spark, sf):
+        return trends.session_stats(_t(spark, sf, "events"), gap_minutes=30)
+
+    q["user_sessions"] = user_sessions
+
+    def competitor_gap(spark, sf):
+        return trends.competitor_gap(_t(spark, sf, "events"))
+
+    q["competitor_gap"] = competitor_gap
+
+    def impact_scores(spark, sf):
+        return trends.impact_scores(_t(spark, sf, "events"))
+
+    q["impact_scores"] = impact_scores
+
+    def events_pivot(spark, sf):
+        ev = _t(spark, sf, "events")
+        types = ["click", "error", "purchase", "signup", "view"]
+        piv = (
+            ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+            .pivot("event_type", types)
+            .count()
+        )
+        return piv.select(
+            "day", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in types]
+        )
+
+    q["events_pivot"] = events_pivot
+
+    def lineitem_rollup(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        return li.rollup("l_returnflag", "l_linestatus").agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+
+    q["lineitem_rollup"] = lineitem_rollup
+
+    def value_percentiles(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("value", F.lit(0.9)), 6).alias("p90"),
+        )
+
+    q["value_percentiles"] = value_percentiles
+
+    def source_lang_gap(spark, sf):
+        docs = _t(spark, sf, "documents")
+        en = docs.filter(F.col("lang") == "en").select("source").distinct()
+        zh = docs.filter(F.col("lang") == "zh").select("source").distinct()
+        joined = en.withColumn("e", F.lit(1)).join(
+            zh.withColumn("z", F.lit(1)), "source", "full_outer"
+        )
+        return joined.select(
+            "source",
+            F.when(F.col("e").isNotNull() & F.col("z").isNotNull(), "both")
+            .when(F.col("e").isNotNull(), "en_only")
+            .otherwise("zh_only")
+            .alias("status"),
+        )
+
+    q["source_lang_gap"] = source_lang_gap
+
+    def event_props_sum(spark, sf):
+        ev = _t(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.sum(F.get_json_object("props", "$.k").cast("long")).alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+
+    q["event_props_sum"] = event_props_sum
+
+    # ---------------- retrieval shapes over documents ----------------
+
+    def hybrid_fusion_docs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        v = docs.filter(F.col("doc_id") % 7 == 0).select(
+            F.col("doc_id").alias("chunk_id"),
+            ((F.col("doc_id") * 2654435761) % 1000003 / F.lit(1000003.0)).alias("score"),
+        )
+        g = docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.col("doc_id").alias("chunk_id"),
+            ((F.col("doc_id") * 48271) % 999983 / F.lit(999983.0)).alias("score"),
+        )
+        fused = retrieval.hybrid_fuse(v, g, vector_weight=0.5, top_k=25)
+        return fused.select(
+            F.col("chunk_id").alias("doc_id"), F.round("score", 6).alias("score")
+        )
+
+    q["hybrid_fusion_docs"] = hybrid_fusion_docs
+
+    def context_window_docs(spark, sf):
+        docs = _t(spark, sf, "documents")
+        chunks = docs.select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("source").alias("doc_id"),
+            F.col("doc_id").cast("int").alias("chunk_index"),
+            "text",
+        )
+        matches = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            ((F.col("doc_id") * 48271) % 997 / F.lit(997.0)).alias("score"),
+        )
+        out = retrieval.expand_context(matches, chunks, context_size=2)
+        return out.select(
+            "chunk_id",
+            F.col("doc_id").alias("source"),
+            "chunk_index",
+            F.col("is_match").cast("int").alias("is_match"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["context_window_docs"] = context_window_docs
+
+    def topk_per_source(spark, sf):
+        docs = _t(spark, sf, "documents")
+        w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        return (
+            docs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("source", "doc_id", "n_chars", "rnk")
+        )
+
+    q["topk_per_source"] = topk_per_source
+
+    # ---------------- rows-only (non-SQL-expressible: UDF pipelines) ----
+
+    def kg_edges_synthetic(spark, sf):
+        return entry(spark)
+
+    q["kg_edges_synthetic"] = kg_edges_synthetic
+
+    def kg_chunks_documents(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "lang",
+            "text",
+        )
+        return chunker.chunk_documents(docs, max_tokens=40)
+
+    q["kg_chunks_documents"] = kg_chunks_documents
+
+    def kg_term_edges_documents(spark, sf):
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").cast("string").alias("chunk_id"), "text"
+        )
+        return ngrams.term_chunk_edges(docs)
+
+    q["kg_term_edges_documents"] = kg_term_edges_documents
+
+    def minhash_near_dups(spark, sf):
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+        sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_k=3)
+        return dedup.minhash_lsh_pairs(sigs, num_bands=16, jaccard_threshold=0.8)
+
+    q["minhash_near_dups"] = minhash_near_dups
+
+    def simhash_fingerprints(spark, sf):
+        return dedup.simhash_docs(_t(spark, sf, "documents"))
+
+    q["simhash_fingerprints"] = simhash_fingerprints
+
+    def ann_lsh_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        return similarity.ann_lsh_topk(emb, qvec, top_k=10, bits=8, n_probes=4)
+
+    q["ann_lsh_topk"] = ann_lsh_topk
+
+    def multimodal_frame_features(spark, sf):
+        frames = multimodal.synthetic_frames(spark, n_assets=4, frames_per_asset=40)
+        sampled = multimodal.sample_frames(frames, every_nth=4)
+        return multimodal.extract_frame_features(sampled)
+
+    q["multimodal_frame_features"] = multimodal_frame_features
+
+    def multimodal_segments(spark, sf):
+        frames = multimodal.synthetic_frames(spark, n_assets=3, frames_per_asset=60)
+        return multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)
+
+    q["multimodal_segments"] = multimodal_segments
+
+    def vector_search_corpus(spark, sf):
+        pages = corpus.pages_spark_df(spark, 60, partitions=4)
+        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+        chunks = chunker.chunk_documents(p, max_tokens=80)
+        emb = chunks.select(
+            "chunk_id", EMB.embed(F.col("text"), prefix="passage: ").alias("embedding")
+        )
+        return retrieval.vector_search(emb, "Who founded Globex Systems?", top_k=5)
+
+    q["vector_search_corpus"] = vector_search_corpus
+
+    return q
+
+
+# ===========================================================================
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    stoplist = sql_stopword_list()
+    dot = (
+        "list_sum(list_transform(range(1, len({a})+1), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+    norm = "sqrt(" + dot.format(a="{x}", b="{x}") + ")"
+
+    sqls: dict[str, str] = {}
+
+    sqls["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    sqls["q3_shipping_priority"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+        GROUP BY l_orderkey, strftime(o_orderdate, '%Y-%m-%d')
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    sqls["q5_region_revenue"] = """
+        SELECT n_name,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount), 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey  = c_custkey
+        JOIN supplier ON l_suppkey  = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE c_nationkey = s_nationkey
+        GROUP BY n_name
+    """
+
+    sqls["q6_revenue_delta"] = """
+        SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 4) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """
+
+    sqls["q18_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE) > 150
+        )
+        SELECT l_orderkey, total_qty, o_custkey AS custkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+        FROM big JOIN orders ON l_orderkey = o_orderkey
+    """
+
+    sqls["order_rank_per_customer"] = """
+        SELECT o_custkey, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS orderdate, rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey ASC) AS rnk
+          FROM orders
+        ) WHERE rnk <= 3
+    """
+
+    sqls["running_revenue_per_customer"] = """
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice, 4) AS DECIMAL(18,4))) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               AS running_total
+        FROM orders WHERE o_custkey % 10 = 0
+    """
+
+    sqls["top_suppliers_per_nation"] = """
+        SELECT n_name, s_suppkey, s_name, ROUND(s_acctbal, 2) AS acctbal, rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY s_nationkey
+                   ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+          FROM supplier
+        ) s JOIN nation ON s.s_nationkey = n_nationkey
+        WHERE rnk <= 2
+    """
+
+    sqls["doc_unigram_counts"] = f"""
+        SELECT term, COUNT(*) AS cnt
+        FROM (SELECT unnest({_SQL_TOKENS}) AS term FROM documents)
+        WHERE term NOT IN ({stoplist})
+        GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 50
+    """
+
+    sqls["doc_bigram_counts"] = f"""
+        WITH toks AS (SELECT {_SQL_TOKENS} AS t FROM documents)
+        SELECT bigram, COUNT(*) AS cnt
+        FROM (
+          SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+          FROM toks
+        )
+        GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 50
+    """
+
+    sqls["term_search_docs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+        ),
+        qt AS (SELECT * FROM (VALUES ('spark', 1.0), ('join', 1.0),
+                                      ('window', 1.0), ('stream', 1.0)) v(term, score))
+        SELECT doc_id, SUM(score) AS score
+        FROM toks JOIN qt USING (term)
+        GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+    sqls["doc_token_stats"] = f"""
+        WITH t AS (SELECT doc_id, text, {_SQL_TOKENS} AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS n_chars_actual,
+               ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                     ELSE CAST(list_sum(list_transform(toks, x -> length(x)))
+                               AS DOUBLE) / len(toks) END, 6) AS mean_token_len
+        FROM t
+    """
+
+    sqls["subword_token_counts"] = """
+        WITH t AS (SELECT doc_id,
+               regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]+') AS ws
+          FROM documents)
+        SELECT doc_id,
+               CAST(coalesce(list_sum(list_transform(ws,
+                   w -> CAST(ceil(length(w) / 4.0) AS INT))), 0) AS INT) AS n_subwords
+        FROM t
+    """
+
+    sqls["exact_dedup_docs"] = """
+        SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size
+        FROM documents GROUP BY md5(text)
+    """
+
+    sqls["doc_fingerprints"] = f"""
+        SELECT doc_id,
+               md5(array_to_string({_SQL_TOKENS}, ' ')) AS fingerprint
+        FROM documents
+    """
+
+    _sw_count = f"""
+        (SELECT COUNT(*) FROM unnest({_SQL_TOKENS}) AS u(tok)
+         WHERE tok IN ({stoplist}))
+    """
+    sqls["quality_scores"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 {_sw_count} AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) AS n_chars_a
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CASE WHEN n_toks = 0 THEN 0.0
+                      ELSE CAST(n_stop AS DOUBLE) / n_toks END AS sr,
+                 CASE WHEN n_chars_a = 0 THEN 0.0
+                      ELSE CAST(n_punct AS DOUBLE) / n_chars_a END AS pr,
+                 CAST(n_toks AS DOUBLE) AS n
+          FROM base
+        )
+        SELECT doc_id, ROUND(sr, 6) AS stopword_ratio, ROUND(pr, 6) AS punct_ratio,
+               ROUND(0.4 * least(n / 100.0, 1.0)
+                   + 0.3 * least(sr * 3.0, 1.0)
+                   + 0.3 * greatest(1.0 - pr * 5.0, 0.0), 6) AS quality
+        FROM r
+    """
+
+    en_markers = ", ".join(f"'{m}'" for m in TQ.EN_MARKERS)
+    sqls["lang_id_heuristic"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 (SELECT COUNT(*) FROM unnest({_SQL_TOKENS}) AS u(tok)
+                  WHERE tok IN ({en_markers})) AS n_m
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
+                          ELSE CAST(n_m AS DOUBLE) / n_toks END) >= 0.08
+                    THEN 'en' ELSE 'other' END AS pred_lang,
+               lang
+        FROM base
+    """
+
+    sqls["jaccard_near_dups"] = f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_sort(list_distinct({_SQL_TOKENS})) AS tokens
+          FROM documents WHERE doc_id % 5 = 0
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+                     / len(list_distinct(a.tokens || b.tokens)), 6) AS jaccard
+        FROM base a JOIN base b
+          ON a.doc_id < b.doc_id AND a.lang = b.lang
+        WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
+              / len(list_distinct(a.tokens || b.tokens)) >= 0.82
+    """
+
+    sqls["stopword_ratio_by_lang"] = f"""
+        WITH base AS (
+          SELECT lang,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 {_sw_count} AS n_stop
+          FROM documents
+        )
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(CAST(ROUND(CASE WHEN n_toks = 0 THEN 0.0
+                     ELSE CAST(n_stop AS DOUBLE) / n_toks END, 6)
+                   AS DECIMAL(18,6))) AS DOUBLE) AS sum_ratio
+        FROM base GROUP BY lang
+    """
+
+    qdot = dot.format(a="e.embedding", b="q.embedding")
+    qna = norm.format(x="e.embedding")
+    qnb = norm.format(x="q.embedding")
+    sqls["knn_topk"] = f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(CASE WHEN {qna} = 0.0 OR {qnb} = 0.0 THEN 0.0
+                     ELSE {qdot} / ({qna} * {qnb}) END, 6) AS score
+        FROM embeddings e, q
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """
+
+    sqls["embedding_norms"] = f"""
+        SELECT vec_id, ROUND({norm.format(x="embedding")}, 6) AS norm
+        FROM embeddings
+    """
+
+    pdot = dot.format(a="a.embedding", b="b.embedding")
+    pna = norm.format(x="a.embedding")
+    pnb = norm.format(x="b.embedding")
+    sqls["cosine_dup_pairs"] = f"""
+        WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(CASE WHEN {pna} = 0.0 OR {pnb} = 0.0 THEN 0.0
+                     ELSE {pdot} / ({pna} * {pnb}) END, 6) AS cosine
+        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        WHERE (CASE WHEN {pna} = 0.0 OR {pnb} = 0.0 THEN 0.0
+               ELSE {pdot} / ({pna} * {pnb}) END) >= 0.30
+    """
+
+    sqls["daily_event_counts"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    """
+
+    sqls["event_velocity"] = """
+        WITH d AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, cnt,
+               LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt,
+               cnt - COALESCE(LAG(cnt) OVER (PARTITION BY event_type ORDER BY day), 0)
+                 AS velocity
+        FROM d
+    """
+
+    sqls["distinct_daily_adopters"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS adopters
+        FROM events GROUP BY 1, 2
+    """
+
+    sqls["moving_avg_3d"] = """
+        WITH d AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, day, cnt,
+               ROUND(AVG(cnt) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+        FROM d
+    """
+
+    sqls["viral_coefficient"] = """
+        WITH fs AS (
+          SELECT event_type, user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+          FROM events GROUP BY event_type, user_id
+        ), npd AS (
+          SELECT event_type, first_day AS day, COUNT(*) AS new_adopters
+          FROM fs GROUP BY event_type, first_day
+        ), cum AS (
+          SELECT event_type, day, new_adopters,
+                 COALESCE(SUM(new_adopters) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS existing_prev
+          FROM npd
+        )
+        SELECT event_type, day, new_adopters, existing_prev,
+               CASE WHEN existing_prev = 0 THEN NULL
+                    ELSE ROUND(CAST(new_adopters AS DOUBLE) / existing_prev, 6)
+               END AS viral_coefficient
+        FROM cum
+    """
+
+    sqls["trend_classification"] = """
+        WITH d AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), v AS (
+          SELECT event_type, day, cnt,
+                 cnt - COALESCE(LAG(cnt) OVER (PARTITION BY event_type ORDER BY day), 0)
+                   AS velocity
+          FROM d
+        ), stats AS (
+          SELECT event_type, SUM(cnt) AS total,
+                 ROUND(AVG(velocity), 6) AS avg_velocity, MAX(cnt) AS peak
+          FROM v GROUP BY event_type
+        )
+        SELECT event_type, total, avg_velocity, peak,
+               CASE WHEN avg_velocity > 1.0 THEN 'growing'
+                    WHEN avg_velocity < -1.0 THEN 'declining'
+                    ELSE 'stable' END AS stage
+        FROM stats
+    """
+
+    sqls["user_sessions"] = """
+        WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN datediff('second',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) > 1800
+                      OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ), s AS (
+          SELECT user_id, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+          FROM g
+        )
+        SELECT user_id, session_idx, COUNT(*) AS n_events,
+               ROUND(SUM(value), 6) AS total_value
+        FROM s GROUP BY user_id, session_idx
+    """
+
+    sqls["competitor_gap"] = """
+        WITH brand AS (
+          SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE user_id % 2 = 0
+        ), comp AS (
+          SELECT DISTINCT event_type, strftime(ts, '%Y-%m-%d') AS day
+          FROM events WHERE user_id % 2 <> 0
+        )
+        SELECT COALESCE(b.event_type, c.event_type) AS event_type,
+               COALESCE(b.day, c.day) AS day,
+               CASE WHEN b.event_type IS NOT NULL AND c.event_type IS NOT NULL
+                      THEN 'overlap'
+                    WHEN b.event_type IS NOT NULL THEN 'brand_only'
+                    ELSE 'competitor_only' END AS status
+        FROM brand b FULL OUTER JOIN comp c
+          ON b.event_type = c.event_type AND b.day = c.day
+    """
+
+    sqls["impact_scores"] = """
+        WITH d AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ), v AS (
+          SELECT event_type, day, cnt,
+                 cnt - COALESCE(LAG(cnt) OVER (PARTITION BY event_type ORDER BY day), 0)
+                   AS velocity
+          FROM d
+        ), stats AS (
+          SELECT event_type, SUM(cnt) AS total,
+                 ROUND(AVG(velocity), 6) AS avg_velocity
+          FROM v GROUP BY event_type
+        ), a AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS adopters FROM events GROUP BY 1
+        )
+        SELECT s.event_type, s.total, a.adopters, s.avg_velocity,
+               ROUND(0.5 * least(s.total / 500.0, 1.0)
+                   + 0.3 * least(a.adopters / 100.0, 1.0)
+                   + 0.2 * least(greatest(s.avg_velocity, 0.0), 1.0), 6) AS impact
+        FROM stats s JOIN a ON s.event_type = a.event_type
+    """
+
+    sqls["events_pivot"] = """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+               COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+               COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+               COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+               COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        FROM events GROUP BY 1
+    """
+
+    sqls["lineitem_rollup"] = """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(ROUND(l_quantity, 4) AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    sqls["value_percentiles"] = """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 6) AS p50,
+               ROUND(quantile_cont(value, 0.9), 6) AS p90
+        FROM events GROUP BY event_type
+    """
+
+    sqls["source_lang_gap"] = """
+        WITH en AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+             zh AS (SELECT DISTINCT source FROM documents WHERE lang = 'zh')
+        SELECT COALESCE(en.source, zh.source) AS source,
+               CASE WHEN en.source IS NOT NULL AND zh.source IS NOT NULL THEN 'both'
+                    WHEN en.source IS NOT NULL THEN 'en_only'
+                    ELSE 'zh_only' END AS status
+        FROM en FULL OUTER JOIN zh ON en.source = zh.source
+    """
+
+    sqls["event_props_sum"] = """
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    sqls["hybrid_fusion_docs"] = """
+        WITH v AS (
+          SELECT doc_id AS chunk_id,
+                 (doc_id * 2654435761) % 1000003 / 1000003.0 AS score
+          FROM documents WHERE doc_id % 7 = 0
+        ), g AS (
+          SELECT doc_id AS chunk_id,
+                 (doc_id * 48271) % 999983 / 999983.0 AS score
+          FROM documents WHERE doc_id % 5 = 0
+        ), vn AS (
+          SELECT chunk_id,
+                 CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0
+                      ELSE (score - MIN(score) OVER ())
+                           / (MAX(score) OVER () - MIN(score) OVER ()) END AS vs
+          FROM v
+        ), gn AS (
+          SELECT chunk_id,
+                 CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0
+                      ELSE (score - MIN(score) OVER ())
+                           / (MAX(score) OVER () - MIN(score) OVER ()) END AS gs
+          FROM g
+        ), fused AS (
+          SELECT COALESCE(vn.chunk_id, gn.chunk_id) AS doc_id,
+                 0.5 * COALESCE(vs, 0.0) + 0.5 * COALESCE(gs, 0.0) AS score
+          FROM vn FULL OUTER JOIN gn ON vn.chunk_id = gn.chunk_id
+        )
+        SELECT doc_id, ROUND(score, 6) AS score
+        FROM fused ORDER BY score DESC, doc_id ASC LIMIT 25
+    """
+
+    sqls["context_window_docs"] = """
+        WITH chunks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS chunk_id, source,
+                 CAST(doc_id AS INT) AS chunk_index, text
+          FROM documents
+        ), matches AS (
+          SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+                 (doc_id * 48271) % 997 / 997.0 AS score
+          FROM documents WHERE doc_id % 50 = 0
+        ), m AS (
+          SELECT m.chunk_id AS match_chunk_id, c.source,
+                 c.chunk_index AS match_index, m.score
+          FROM matches m JOIN chunks c ON m.chunk_id = c.chunk_id
+        ), expanded AS (
+          SELECT c.chunk_id, c.source, c.chunk_index, m.match_chunk_id, m.score,
+                 CASE WHEN c.chunk_index = m.match_index THEN 1 ELSE 0 END AS is_match
+          FROM m JOIN chunks c ON m.source = c.source
+          WHERE abs(c.chunk_index - m.match_index) <= 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_id
+                   ORDER BY is_match DESC, score DESC, match_chunk_id ASC) AS rn
+          FROM expanded
+        )
+        SELECT chunk_id, source, chunk_index, is_match, ROUND(score, 6) AS score
+        FROM ranked WHERE rn = 1
+    """
+
+    sqls["topk_per_source"] = """
+        SELECT source, doc_id, n_chars, rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY n_chars DESC, doc_id ASC) AS rnk
+          FROM documents
+        ) WHERE rnk <= 3
+    """
+
+    return sqls

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] (default 32) plus the
+end-to-end KG-construction pipeline over an in-repo synthetic corpus,
+and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling-efficiency evidence (north rule, sandbox form): run this twice —
+  SPARK_GRAFT_CPUS=8 python bench.py
+  SPARK_GRAFT_CPUS=32 python bench.py
+and compare docs_per_sec (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+KG_PAGES = int(os.environ.get("SPARK_GRAFT_KG_PAGES", "3000"))
+# this sandbox host exhibits intermittent multi-second hypervisor freezes
+# (historical steal time 1.5x user time; JVM periodic safepoints skipped
+# for 10-20s windows) — every measurement is min-of-REPS to report the
+# unthrottled speed of the PLAN, not of the noisy neighbor
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+# headline subset: one per operator family (joins/aggs, windows, text
+# curation, vector search, dedup, trends, retrieval composition)
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "order_rank_per_customer",
+    "doc_unigram_counts",
+    "term_search_docs",
+    "quality_scores",
+    "exact_dedup_docs",
+    "knn_topk",
+    "cosine_dup_pairs",
+    "minhash_near_dups",
+    "simhash_fingerprints",
+    "daily_event_counts",
+    "user_sessions",
+    "hybrid_fusion_docs",
+    "context_window_docs",
+]
+
+
+def _force(df):
+    """Execute the full plan without driver-side materialization."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+        chunker, linking, components, ngrams, triples as triples_op,
+    )
+    from hybrid_graphrag_with_qdrant_neo4j_spark.sources import pages as pages_src
+    from pyspark.sql import functions as F
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+    )
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+
+    # warmup: JVM/codegen/python-worker spin-up out of the measured path
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+    for tbl in ("lineitem", "documents", "events", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{tbl}.parquet")).count()
+
+    def _steal() -> int:
+        return int(open("/proc/stat").readline().split()[8])
+
+    steal0 = _steal()
+
+    only_kg = os.environ.get("SPARK_GRAFT_ONLY_KG") == "1"
+    for name in [] if only_kg else HEADLINE:
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _force(queries[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    # ---- KG pipeline throughput (docs/sec), no checkpoint IO ----
+    def run_kg() -> float:
+        t0 = time.perf_counter()
+        pages = corpus.pages_spark_df(spark, KG_PAGES, partitions=max(CPUS, 8))
+        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+        # chunks feed three downstream stages — persist so extraction +
+        # chunking UDFs run once (the checkpointed pipeline gets this
+        # for free from its parquet snapshots)
+        chunks = chunker.chunk_documents(p, max_tokens=200).persist()
+        en = chunks.filter(F.col("lang") == "en")
+        terms = ngrams.term_chunk_edges(en)
+        t = triples_op.triples_raw(en).persist()
+        ents = linking.entity_nodes(t)
+        # scale-adaptive link+canonicalize (driver path under 10k
+        # entities; LSH + distributed CC above — see operators.linking)
+        if ents.count() <= 10_000:
+            mapping_rows, _ = linking.local_entity_resolution(ents)
+            mapping = spark.createDataFrame(
+                mapping_rows, "name string, canonical_id string"
+            )
+        else:
+            pairs = linking.similarity_pairs(ents)
+            names = t.select(F.col("subj").alias("name")).unionByName(
+                t.select(F.col("obj").alias("name"))
+            )
+            mapping = components.canonical_mapping(names, pairs)
+        edges = (
+            t.join(F.broadcast(mapping.withColumnRenamed("name", "subj")), "subj")
+            .withColumnRenamed("canonical_id", "subj_id")
+            .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
+            .withColumnRenamed("canonical_id", "obj_id")
+            .select("subj_id", "pred", "obj_id", "chunk_id", "url")
+            .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
+        )
+        _force(terms)
+        _force(edges)
+        t.unpersist()
+        chunks.unpersist()
+        return time.perf_counter() - t0
+
+    kg_secs = min(run_kg() for _ in range(REPS))
+    timings["kg_pipeline"] = round(kg_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "kg_pages": KG_PAGES,
+        "docs_per_sec": round(KG_PAGES / kg_secs, 2),
+        "reps": REPS,
+        "host_steal_ticks_during_run": _steal() - steal0,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

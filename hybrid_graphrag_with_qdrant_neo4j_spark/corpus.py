@@ -47,6 +47,13 @@ _COMPANIES: List[List[str]] = [
     ["Soylent Foods"],
     ["Vandelay Imports"],
     ["Wonka Confections"],
+    # this pair is NOT lowercase-equal but its hash-embedding cosine is
+    # ~0.978 >= 0.96 -> exercises the embedding-similarity merge + CC
+    # path inside the corpus pipeline (not just unit tests)
+    [
+        "Consolidated Amalgamated Industrial Holdings Corporation",
+        "Consolidated Amalgamated Industrial Holdings Corporations",
+    ],
 ]
 _PEOPLE = [
     "Alice Harper", "Bob Stone", "Carol Finch", "David Boyd", "Erin Cole",
@@ -165,10 +172,11 @@ def page_row(i: int, seed: int = 42, sentences_per_page: int = 12) -> Dict:
 
 
 def generate_pages(
-    n: int, seed: int = 42, sentences_per_page: int = 12
+    n: int, seed: int = 42, sentences_per_page: int = 12, start: int = 0
 ) -> Iterator[Dict]:
-    """Yield all n page rows (single-process oracle path)."""
-    for i in range(n):
+    """Yield page rows start..start+n-1 (single-process oracle path).
+    ``start`` gives disjoint url ranges for incremental-ingest tests."""
+    for i in range(start, start + n):
         yield page_row(i, seed=seed, sentences_per_page=sentences_per_page)
 
 
@@ -178,7 +186,7 @@ PAGES_SCHEMA_DDL = (
 
 
 def pages_spark_df(spark, n: int, seed: int = 42, partitions: int = 32,
-                   sentences_per_page: int = 12):
+                   sentences_per_page: int = 12, start: int = 0):
     """Distributed generation: parallelize index ranges; each executor
     generates its own rows (no driver-side page bodies; scales linearly
     with cores — the same shape a real WARC scan would have)."""
@@ -197,9 +205,9 @@ def pages_spark_df(spark, n: int, seed: int = 42, partitions: int = 32,
 
     def _gen_partition(pidx_iter):
         for pidx in pidx_iter:
-            start = pidx * per
-            stop = min(start + per, n)
-            for i in range(start, stop):
+            lo = start + pidx * per
+            hi = min(lo + per, start + n)
+            for i in range(lo, hi):
                 row = page_row(i, seed=seed, sentences_per_page=sentences_per_page)
                 yield (row["url"], row["warc_ts"], row["html"], row["text"], row["lang"])
 

@@ -47,12 +47,14 @@ def connected_components(
             edges.join(labels, edges.a == labels.node)
             .select(F.col("b").alias("node"), "label")
         )
+        # lazy localCheckpoint: materialized by the change-count job below
+        # -> one Spark job per round instead of two, lineage still truncated
         new_labels = (
             labels.select("node", "label")
             .unionByName(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")

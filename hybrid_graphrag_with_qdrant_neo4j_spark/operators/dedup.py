@@ -133,9 +133,11 @@ def minhash_lsh_pairs(
 def simhash_py(text: str) -> int:
     toks = [w.lower() for w in tp.word_tokenize(text or "") if w.isalnum()]
     acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        h = (_crc(t, 0) << 32) | _crc(t, 1)
-        bits = (h >> np.arange(64)) & 1
+        # full 64-bit hash exceeds int64 -> keep it in uint64 domain
+        h = np.uint64((_crc(t, 0) << 32) | _crc(t, 1))
+        bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
     for i in range(64):
@@ -260,7 +262,7 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("l._blk") == F.col("r._blk"))
     return (
         l.join(r, cond)
-        .withColumn("cos", E.cosine(F.col("l.emb"), F.col("r.emb")))
+        .withColumn("cos", E.cosine_pairs_udf(F.col("l.emb"), F.col("r.emb")))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("l.vid").alias("id_a"),

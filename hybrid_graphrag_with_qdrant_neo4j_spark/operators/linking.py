@@ -98,7 +98,7 @@ def similarity_pairs(
         .dropDuplicates(["name_a", "name_b"])  # same pair from many bands
     )
     return (
-        cand.withColumn("cos", E.cosine(F.col("emb_a"), F.col("emb_b")))
+        cand.withColumn("cos", E.cosine_pairs_udf(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("name_a", "name_b")
     )
@@ -114,7 +114,59 @@ def similarity_pairs_bruteforce(
     b = entities.select(F.col("name").alias("name_b"), F.col("embedding").alias("emb_b"))
     return (
         a.join(b, F.col("name_a") < F.col("name_b"))
-        .withColumn("cos", E.cosine(F.col("emb_a"), F.col("emb_b")))
+        .withColumn("cos", E.cosine_pairs_udf(F.col("emb_a"), F.col("emb_b")))
         .filter(F.col("cos") >= F.lit(threshold))
         .select("name_a", "name_b")
     )
+
+
+def local_entity_resolution(
+    entities: DataFrame, threshold: float = LINK_THRESHOLD
+):
+    """Driver-local linking + canonicalization for small entity sets.
+
+    The linking stage is scale-adaptive (the reference's own
+    capability-detection idiom, triplets.py:58-90): below
+    ``local_under`` distinct entities the whole similarity matrix fits
+    the driver (10k names x 768 floats = 30 MB; one BLAS matmul), so a
+    dozen tiny Spark jobs (pair join + hash-min CC rounds) collapse into
+    one collect + one broadcast-able mapping.  Above the threshold the
+    distributed LSH + connected-components path engages.  Results are
+    identical (same threshold, same lexicographic-min canonical rule).
+
+    Returns (mapping, pairs): mapping = list[(name, canonical_id)] for
+    every entity; pairs = list[(name_a, name_b)] with cosine >= threshold
+    and name_a < name_b (identical semantics to
+    ``similarity_pairs_bruteforce``).
+    """
+    rows = entities.select("name", "embedding").collect()
+    names = [r["name"] for r in rows]
+    if not names:
+        return [], []
+    order = np.argsort(np.array(names, dtype=object))
+    names = [rows[i]["name"] for i in order]
+    mat = np.stack([rows[i]["embedding"] for i in order]).astype(np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sim = unit @ unit.T
+
+    parent = list(range(len(names)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    pairs = []
+    ii, jj = np.where(sim >= threshold)
+    for a, b in zip(ii.tolist(), jj.tolist()):
+        if a < b:
+            pairs.append((names[a], names[b]))
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo  # names sorted -> min index == min name
+    mapping = [(names[i], names[find(i)]) for i in range(len(names))]
+    return mapping, pairs

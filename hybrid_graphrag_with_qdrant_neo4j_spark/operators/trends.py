@@ -108,12 +108,15 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     boundaries = session index.  (Streaming twin: session_window in
     streaming/ingest.py.)"""
     w = Window.partitionBy("user_id").orderBy("ts")
+    # parquet naive timestamps arrive as TIMESTAMP_NTZ in Spark 4; route
+    # through timestamp_ltz (session tz pinned to UTC) for epoch seconds —
+    # floor-to-second semantics matches DuckDB's datediff('second', ...)
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp_ltz"))
+    prev_epoch = F.unix_timestamp(F.lag("ts").over(w).cast("timestamp_ltz"))
     gapped = events.withColumn(
         "_new_session",
         F.when(
-            F.col("ts").cast("long")
-            - F.coalesce(F.lag("ts").over(w).cast("long"), F.lit(-10**12))
-            > gap_minutes * 60,
+            epoch - F.coalesce(prev_epoch, F.lit(-(10**12))) > gap_minutes * 60,
             F.lit(1),
         ).otherwise(F.lit(0)),
     )
@@ -128,4 +131,52 @@ def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     return s.groupBy("user_id", "session_idx").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
+def competitor_gap(events: DataFrame) -> DataFrame:
+    """J11 (marketing_insights.py:83-104): brand-vs-competitor trend set
+    ops.  'Trends' = distinct (event_type, day) pairs; the brand cohort is
+    even user_ids, competitors odd.  Full-outer join + CASE tags each
+    trend overlap / brand_only / competitor_only (the reference's
+    missing/overlap/exclusive lists)."""
+    base = events.select(
+        "event_type", _day().alias("day"), (F.col("user_id") % 2 == 0).alias("is_brand")
+    )
+    brand = base.filter("is_brand").select("event_type", "day").distinct()
+    comp = base.filter(~F.col("is_brand")).select("event_type", "day").distinct()
+    b = brand.withColumn("b", F.lit(1))
+    c = comp.withColumn("c", F.lit(1))
+    joined = b.join(c, ["event_type", "day"], "full_outer")
+    return joined.select(
+        "event_type",
+        "day",
+        F.when(F.col("b").isNotNull() & F.col("c").isNotNull(), "overlap")
+        .when(F.col("b").isNotNull(), "brand_only")
+        .otherwise("competitor_only")
+        .alias("status"),
+    )
+
+
+def impact_scores(events: DataFrame) -> DataFrame:
+    """F14 (trend_detector.py:305-334 / marketing_insights.py:18-81
+    shape): weighted sums with least/greatest clamps over per-type
+    aggregates."""
+    v = velocity(events)
+    stats = v.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"),
+        F.round(F.avg("velocity"), 6).alias("avg_velocity"),
+    )
+    adopters = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("adopters")
+    )
+    s = stats.join(adopters, "event_type")
+    impact = (
+        F.lit(0.5) * F.least(F.col("total") / F.lit(500.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(F.col("adopters") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.2) * F.least(F.greatest(F.col("avg_velocity"), F.lit(0.0)), F.lit(1.0))
+    )
+    return s.select(
+        "event_type", "total", "adopters", "avg_velocity",
+        F.round(impact, 6).alias("impact"),
     )

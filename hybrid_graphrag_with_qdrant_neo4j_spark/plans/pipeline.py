@@ -48,7 +48,8 @@ def build_kg(
     input_fingerprint: str,
     max_tokens: int = 200,
     num_partitions: int = 32,
-    link_bruteforce_under: int = 10_000,
+    local_link_under: int = 10_000,
+    link_bruteforce_under: int = 50_000,
 ) -> KGBuildResult:
     """Run (or resume) the full pipeline; returns all materialized tables.
 
@@ -109,27 +110,49 @@ def build_kg(
     stage("mentions", fp_mentions, lambda: triples_op.mentions(triples_df))
 
     fp_pairs = _fp("entity_pairs", fp_triples, linking.LINK_THRESHOLD)
-
-    def compute_pairs():
-        ents = linking.entity_nodes(triples_df)
-        n = ents.count()
-        if n <= link_bruteforce_under:
-            return linking.similarity_pairs_bruteforce(ents)
-        return linking.similarity_pairs(ents)
-
-    pairs_df = stage("entity_pairs", fp_pairs, compute_pairs)
-
     fp_entities = _fp("entities", fp_pairs)
 
-    def compute_entities():
-        names = triples_df.select(F.col("subj").alias("name")).unionByName(
-            triples_df.select(F.col("obj").alias("name"))
+    # scale-adaptive linking (see linking.local_entity_resolution): the
+    # driver path collapses a dozen tiny jobs (pair join + CC rounds)
+    # into one collect when the entity set is small; the distributed
+    # LSH + hash-min CC path engages beyond the thresholds.  Identical
+    # output either way (same threshold, same min-name canonical rule).
+    ents = linking.entity_nodes(triples_df)
+    n_entities = ents.count()
+    if n_entities <= local_link_under:
+        mapping_rows, pair_rows = linking.local_entity_resolution(ents)
+        pairs_df = stage(
+            "entity_pairs",
+            fp_pairs,
+            lambda: spark.createDataFrame(
+                pair_rows, "name_a string, name_b string"
+            )
+            if pair_rows
+            else spark.createDataFrame([], "name_a string, name_b string"),
         )
-        mapping = components.canonical_mapping(names, pairs_df)
-        ents = linking.entity_nodes(triples_df)
-        return ents.join(mapping, "name").select("name", "canonical_id", "embedding")
+        entities_df = stage(
+            "entities",
+            fp_entities,
+            lambda: spark.createDataFrame(
+                mapping_rows, "name string, canonical_id string"
+            ).join(ents, "name"),
+        )
+    else:
+        def compute_pairs():
+            if n_entities <= link_bruteforce_under:
+                return linking.similarity_pairs_bruteforce(ents)
+            return linking.similarity_pairs(ents)
 
-    entities_df = stage("entities", fp_entities, compute_entities)
+        pairs_df = stage("entity_pairs", fp_pairs, compute_pairs)
+
+        def compute_entities():
+            names = triples_df.select(F.col("subj").alias("name")).unionByName(
+                triples_df.select(F.col("obj").alias("name"))
+            )
+            mapping = components.canonical_mapping(names, pairs_df)
+            return ents.join(mapping, "name").select("name", "canonical_id", "embedding")
+
+        entities_df = stage("entities", fp_entities, compute_entities)
 
     fp_edges = _fp("edges", fp_entities)
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd
 from pyspark.sql import SparkSession
 
 
@@ -38,9 +39,31 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # python workers over unix domain sockets: avoids intermittent
+        # ~63s TCP SYN-retry stalls observed on this host when a worker
+        # pool spins up (8 tasks all blocked exactly 67.8s, the classic
+        # 1+2+4+8+16+32s loopback SYN backoff signature)
+        .config("spark.python.unix.domain.socket.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, partitions: int | None = None) -> None:
+    """Spin up the python-worker pool once with a trivial pandas UDF so
+    worker-creation cost (and any socket flakiness) lands here instead of
+    in the first measured UDF stage.  Workers stay warm via reuse."""
+    from pyspark.sql import functions as F, types as T
+
+    n = partitions or spark.sparkContext.defaultParallelism
+
+    # type hints must resolve from module globals (PEP 563 strings) —
+    # hence the module-level pandas import below, not a local one
+    @F.pandas_udf(T.LongType())
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(n * 10, numPartitions=n).select(_noop("id")).count()

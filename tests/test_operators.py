@@ -1,0 +1,215 @@
+"""Operator-level unit tests with crafted inputs (FIXTURES.md §3.5-3.8)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_graphrag_with_qdrant_neo4j_spark.functions import embedding as E
+from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+    components,
+    dedup,
+    linking,
+    retrieval,
+)
+
+
+def _vec(*xs):
+    n = math.sqrt(sum(x * x for x in xs))
+    return [float(x / n) for x in xs]
+
+
+# ---------------------------------------------------------------------------
+# Entity linking threshold semantics (triplets.py:257-261): 0.97 merges,
+# 0.95 does not; transitive chain a~b~c with a!~c merges via CC.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def crafted_entities(spark):
+    # 2-d-style vectors embedded in a 4-d space; cosine(a,b)=0.97, cosine(a,x)=0.95
+    def rot(theta):
+        return _vec(math.cos(theta), math.sin(theta), 0.0, 0.0)
+
+    th_097 = math.acos(0.97)
+    th_095 = math.acos(0.95)
+    rows = [
+        ("a", rot(0.0)),
+        ("b", rot(th_097 * 0.999)),            # cos(a,b) > 0.97 -> merge
+        ("c", rot(2 * th_097 * 0.999)),        # cos(b,c) > 0.96, cos(a,c) < 0.96
+        ("x", rot(th_095 + 0.03)),             # below threshold vs everything near a? no: craft far
+        ("z", _vec(0.0, 0.0, 1.0, 0.0)),       # orthogonal
+    ]
+    return spark.createDataFrame(rows, "name string, embedding array<float>")
+
+
+def test_bruteforce_pairs_threshold(spark, crafted_entities):
+    pairs = linking.similarity_pairs_bruteforce(crafted_entities, threshold=0.96)
+    got = {(r["name_a"], r["name_b"]) for r in pairs.collect()}
+    assert ("a", "b") in got
+    assert ("b", "c") in got
+    assert ("a", "c") not in got  # transitive only via CC
+    assert not any("z" in p for p in got)
+
+
+def test_connected_components_transitive(spark, crafted_entities):
+    pairs = linking.similarity_pairs_bruteforce(crafted_entities, threshold=0.96)
+    all_names = crafted_entities.select("name")
+    mapping = {
+        r["name"]: r["canonical_id"]
+        for r in components.canonical_mapping(all_names, pairs).collect()
+    }
+    # a~b, b~c  =>  a,b,c all canonicalize to 'a' (lexicographic min)
+    assert mapping["a"] == mapping["b"] == mapping["c"] == "a"
+    assert mapping["z"] == "z"
+
+
+def test_lsh_pairs_match_bruteforce(spark):
+    """LSH blocking is recall-complete at the threshold on a real-ish set:
+    hash-embedded strings with crafted near-duplicates."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+
+    names = [f"entity number {i} of the first kind" for i in range(40)]
+    names += [f"entity number {i} of the first kindx" for i in range(10)]  # near-dups
+    rows = [(n, tp.embed_text_py(n)) for n in names]
+    ents = spark.createDataFrame(rows, "name string, embedding array<float>")
+    want = {
+        (r["name_a"], r["name_b"])
+        for r in linking.similarity_pairs_bruteforce(ents, threshold=0.9).collect()
+    }
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in linking.similarity_pairs(ents, threshold=0.9).collect()
+    }
+    assert want, "fixture should produce at least one high-cosine pair"
+    assert got == want
+
+
+def test_cc_large_chain(spark):
+    # a chain of 20 nodes converges to a single component, min-name canonical
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(19)],
+        "name_a string, name_b string",
+    )
+    cc = components.connected_components(pairs)
+    labels = {r["name"]: r["canonical_id"] for r in cc.collect()}
+    assert set(labels.values()) == {"n00"}
+
+
+# ---------------------------------------------------------------------------
+# Hybrid fusion + normalization (retrieval.py:550-605; FIXTURES.md §3.5)
+# ---------------------------------------------------------------------------
+
+def test_normalize_equal_min_max_all_ones(spark):
+    df = spark.createDataFrame(
+        [("c1", 5.0), ("c2", 5.0)], "chunk_id string, score double"
+    )
+    got = {r["chunk_id"]: r["score"] for r in retrieval.normalize_scores(df).collect()}
+    assert got == {"c1": 1.0, "c2": 1.0}
+
+
+def test_hybrid_fuse_one_sided_coalesce(spark):
+    v = spark.createDataFrame([("c1", 2.0), ("c2", 1.0)], "chunk_id string, score double")
+    g = spark.createDataFrame([("c2", 3.0), ("c3", 1.0)], "chunk_id string, score double")
+    out = {r["chunk_id"]: r for r in retrieval.hybrid_fuse(v, g, 0.5, 10).collect()}
+    assert out["c1"]["graph_score"] == 0.0 and out["c1"]["vector_score"] == 1.0
+    assert out["c3"]["vector_score"] == 0.0 and out["c3"]["graph_score"] == 0.0  # min of set
+    assert out["c2"]["score"] == pytest.approx(0.5 * 0.0 + 0.5 * 1.0)
+
+
+# ---------------------------------------------------------------------------
+# Context window (retrieval.py:419-514; FIXTURES.md §3.6)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def chain_chunks(spark):
+    rows = [(f"d1_c{i}", "d1", i, f"text {i}") for i in range(6)]
+    rows += [(f"d2_c{i}", "d2", i, f"t2 {i}") for i in range(3)]
+    return spark.createDataFrame(
+        rows, "chunk_id string, doc_id string, chunk_index int, text string"
+    )
+
+
+def test_context_window_truncated_at_doc_edges(spark, chain_chunks):
+    matches = spark.createDataFrame([("d1_c0", 1.0)], "chunk_id string, score double")
+    out = retrieval.expand_context(matches, chain_chunks, context_size=2)
+    ids = sorted(r["chunk_id"] for r in out.collect())
+    assert ids == ["d1_c0", "d1_c1", "d1_c2"]  # nothing before index 0
+
+
+def test_context_window_overlap_dedup_match_flag_wins(spark, chain_chunks):
+    matches = spark.createDataFrame(
+        [("d1_c1", 0.9), ("d1_c3", 0.5)], "chunk_id string, score double"
+    )
+    out = retrieval.expand_context(matches, chain_chunks, context_size=2)
+    rows = {r["chunk_id"]: r for r in out.collect()}
+    assert len(rows) == 6  # c0..c5 covered once each
+    assert rows["d1_c3"]["is_match"] is True  # match flag beats neighbor role
+    assert rows["d1_c2"]["is_match"] is False
+    assert rows["d1_c2"]["score"] == 0.9  # keep-max-score on overlap
+
+
+def test_context_window_size_zero(spark, chain_chunks):
+    matches = spark.createDataFrame([("d2_c1", 1.0)], "chunk_id string, score double")
+    out = retrieval.expand_context(matches, chain_chunks, context_size=0)
+    assert [r["chunk_id"] for r in out.collect()] == ["d2_c1"]
+
+
+# ---------------------------------------------------------------------------
+# Dedup: minhash estimate vs exact jaccard; simhash identity; salted = plain
+# ---------------------------------------------------------------------------
+
+def test_minhash_close_to_exact_jaccard(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away " * 5
+    near = base.replace("lazy", "sleepy")
+    far = "completely different content about spark shuffles and joins " * 5
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    sigs = dedup.minhash_signatures(docs, num_hashes=128, shingle_k=3)
+    pairs = dedup.minhash_lsh_pairs(
+        sigs, num_bands=32, jaccard_threshold=0.5, num_hashes=128
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] > 0.5
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_simhash_near_dup_detection(spark):
+    # simhash detects near-dups when edits are small relative to the
+    # token-weight mass (repeated content); single-occurrence-token docs
+    # flip ~P(|S|<2)*64 bits per edit and are NOT simhash-near — that is
+    # intrinsic to the algorithm, so the fixture uses repeated text.
+    sent = "the quick brown fox jumps over the lazy dog near the old river bank today "
+    base = sent * 40
+    near = (sent * 39) + sent.replace("lazy", "sleepy")
+    far = "completely different text about spark joins and shuffles in clusters " * 40
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    hashes = dedup.simhash_docs(docs)
+    pairs = dedup.simhash_near_dup_pairs(hashes, max_hamming=6)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_exact_dedup_groups(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "unique")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["group_size"] for r in dedup.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+# ---------------------------------------------------------------------------
+# JVM vector math equals python oracle bit-for-bit
+# ---------------------------------------------------------------------------
+
+def test_jvm_cosine_equals_python(spark):
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+
+    a, b = tp.embed_text_py("alpha beta gamma"), tp.embed_text_py("alpha beta delta")
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(E.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    assert got == tp.cosine(a, b)  # bitwise: same float32 inputs, same order

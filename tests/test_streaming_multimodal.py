@@ -1,0 +1,95 @@
+"""Streaming incremental ingest + multimodal plumbing tests."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+from hybrid_graphrag_with_qdrant_neo4j_spark.functions import multimodal
+from hybrid_graphrag_with_qdrant_neo4j_spark.streaming import ingest as sing
+
+
+def test_incremental_ingest_two_batches(spark, tmp_path):
+    """Two file drops -> two micro-batches -> appended tables equal the
+    batch pipeline over the union."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+
+    p1 = corpus.pages_spark_df(spark, 20, partitions=2)
+    p1.write.mode("append").parquet(in_dir)
+    q = sing.start_incremental_ingest(spark, in_dir, out_dir, ckpt, max_tokens=60)
+    q.awaitTermination(300)
+
+    n1 = spark.read.parquet(f"{out_dir}/chunks").count()
+    assert n1 > 0
+
+    # second drop: pages 20..34 (disjoint url range)
+    p2 = corpus.pages_spark_df(spark, 15, start=20, partitions=2)
+    p2.write.mode("append").parquet(in_dir)
+    q2 = sing.start_incremental_ingest(spark, in_dir, out_dir, ckpt, max_tokens=60)
+    q2.awaitTermination(300)
+
+    chunks = spark.read.parquet(f"{out_dir}/chunks")
+    n2 = chunks.count()
+    assert n2 > n1  # batch 2 appended, batch 1 not reprocessed
+    # no duplicate chunk ids across batches (checkpoint = exactly-once)
+    assert chunks.select("chunk_id").distinct().count() == n2
+    assert os.path.exists(f"{out_dir}/triples_raw")
+
+
+def test_streaming_sessions_plan(spark):
+    """session_window aggregation analyzes against a streaming source."""
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).alias("user_id"),
+            F.lit(1.0).alias("value"),
+        )
+    )
+    out = sing.streaming_sessions(stream, gap_minutes=30)
+    assert out.isStreaming
+    assert set(out.columns) == {"user_id", "session", "n_events", "total_value"}
+
+
+def test_multimodal_feature_extraction(spark):
+    frames = multimodal.synthetic_frames(spark, n_assets=2, frames_per_asset=20)
+    sampled = multimodal.sample_frames(frames, every_nth=5)
+    assert sampled.count() == 2 * 4  # frames 0,5,10,15 per asset
+    feats = multimodal.extract_frame_features(sampled)
+    rows = feats.collect()
+    assert len(rows) == 8
+    r = rows[0]
+    assert len(r["feature"]) == 16 and r["width"] >= 64
+    # deterministic: same payload -> same feature
+    feats2 = {(x["asset_id"], x["frame_number"]): x["feature"] for x in
+              multimodal.extract_frame_features(sampled).collect()}
+    assert feats2[(r["asset_id"], r["frame_number"])] == r["feature"]
+
+
+def test_multimodal_segments_chain(spark):
+    frames = multimodal.synthetic_frames(spark, n_assets=1, frames_per_asset=30)
+    segs = multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)
+    rows = sorted(segs.collect(), key=lambda r: r["segment_id"])
+    # 30 frames @2fps = 15s -> segments 0,1,2 with 10 frames each
+    assert [r["segment_id"] for r in rows] == [0, 1, 2]
+    assert all(r["n_frames"] == 10 for r in rows)
+    assert rows[0]["next_segment_id"] == 1 and rows[0]["prev_segment_id"] is None
+    assert rows[2]["next_segment_id"] is None and rows[2]["prev_segment_id"] == 1
+
+
+def test_corpus_pipeline_exhibits_embedding_merge(spark):
+    """The 'Consolidated ... Corporation(s)' alias pair must merge via the
+    embedding path (cosine ~0.978 >= 0.96), not exact-name equality."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import oracle
+
+    t = oracle.oracle_tables(corpus.generate_pages(400), max_tokens=80)
+    ents = dict(t["entities"])
+    a = "consolidated amalgamated industrial holdings corporation"
+    b = "consolidated amalgamated industrial holdings corporations"
+    if a in ents and b in ents:  # both surface forms appeared in 400 pages
+        assert ents[a] == ents[b] == a
+    else:  # extremely unlikely with 400 pages; fail loudly so we notice
+        raise AssertionError(f"alias forms missing from corpus: {a in ents}, {b in ents}")
