@@ -615,6 +615,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_segments"] = multimodal_segments
 
+    def kg_chunk_chain(spark, sf):
+        pages = corpus.pages_spark_df(spark, 60, partitions=4)
+        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+        chunks = chunker.chunk_documents(p, max_tokens=40)
+        return chunker.with_chunk_chain(chunks).select(
+            "doc_id", "chunk_id", "chunk_index", "prev_chunk_id", "next_chunk_id"
+        )
+
+    q["kg_chunk_chain"] = kg_chunk_chain
+
+    def kg_relationship_search(spark, sf):
+        edges = entry(spark)
+        return retrieval.relationship_search(edges, "Acme Corporation")
+
+    q["kg_relationship_search"] = kg_relationship_search
+
+    def kg_entity_search(spark, sf):
+        pages = corpus.pages_spark_df(spark, 120, partitions=8)
+        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+        chunks = chunker.chunk_documents(p, max_tokens=80)
+        en = chunks.filter(F.col("lang") == "en")
+        t = triples_op.triples_raw(en)
+        m = triples_op.mentions(t)
+        probe = spark.createDataFrame(
+            [("acme corporation",), ("globex systems",)], "entity_name string"
+        )
+        return retrieval.entity_search(m, probe, top_k=10)
+
+    q["kg_entity_search"] = kg_entity_search
+
+    def kg_topk_triplets(spark, sf):
+        edges = entry(spark)
+        probe = spark.createDataFrame(
+            [("Acme Corporation",), ("Globex Systems",)], "entity_name string"
+        )
+        return retrieval.topk_triplets_per_entity(edges, probe, top_k=5)
+
+    q["kg_topk_triplets"] = kg_topk_triplets
+
+    def kg_hybrid_retrieval(spark, sf):
+        """Full hybrid retrieval over the synthetic KG: vector + term
+        search, min-max fusion, context-window expansion."""
+        pages = corpus.pages_spark_df(spark, 60, partitions=4)
+        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+        chunks = chunker.chunk_documents(p, max_tokens=80)
+        en = chunks.filter(F.col("lang") == "en")
+        emb = en.select(
+            "chunk_id", EMB.embed(F.col("text"), prefix="passage: ").alias("embedding")
+        )
+        query = "Who founded Globex Systems?"
+        v = retrieval.vector_search(emb, query, top_k=10)
+        terms = ngrams.term_chunk_edges(en)
+        g = retrieval.term_search(terms, retrieval.query_to_terms(spark, query), top_k=10)
+        fused = retrieval.hybrid_fuse(v, g, vector_weight=0.5, top_k=5)
+        return retrieval.expand_context(
+            fused.select("chunk_id", "score"), chunks, context_size=2
+        )
+
+    q["kg_hybrid_retrieval"] = kg_hybrid_retrieval
+
     def vector_search_corpus(spark, sf):
         pages = corpus.pages_spark_df(spark, 60, partitions=4)
         p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
