@@ -413,6 +413,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["distinct_daily_adopters"] = distinct_daily_adopters
 
+    def salted_distinct_adopters(spark, sf):
+        """Same result as distinct_daily_adopters but through the
+        salted two-phase aggregation path (hot-key skew handling,
+        operators/skew.py) — the DuckDB oracle is the plain distinct."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import skew
+
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        return skew.salted_count_distinct(
+            ev, ["event_type", "day"], "user_id", out_col="adopters"
+        )
+
+    q["salted_distinct_adopters"] = salted_distinct_adopters
+
     def moving_avg_3d(spark, sf):
         return trends.moving_average(_t(spark, sf, "events"), periods=3)
 
@@ -975,6 +992,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sqls["distinct_daily_adopters"] = """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS adopters
+        FROM events GROUP BY 1, 2
+    """
+
+    sqls["salted_distinct_adopters"] = """
         SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
                COUNT(DISTINCT user_id) AS adopters
         FROM events GROUP BY 1, 2
