@@ -1,0 +1,115 @@
+"""User-facing GraphRAG facade — the reference CLI's query surface
+(``graphrag query "<q>"`` with its three modes, cli/main.py:158-225)
+re-expressed over the materialized KG tables.
+
+A user of the reference switches like-for-like:
+    reference                               this engine
+    ------------------------------------    ----------------------------
+    graphrag process <files>                run_pipeline.py --input ...
+    graphrag query "<q>"                    GraphRAG(...).query("<q>")
+      --mode hybrid (default)                 mode="hybrid"
+      --context-aware                         mode="context"
+      --triplets                              mode="triplets"
+
+Storage note: tables are parquet snapshots (this runtime has no Iceberg
+jars — probed at build time; with Iceberg on the cluster classpath the
+checkpoint writes become ``writeTo(...).createOrReplace`` and nothing
+else changes).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import ngrams, retrieval
+from ..functions import embedding as E
+
+
+class GraphRAG:
+    """Query interface over a KG built by ``plans.pipeline.build_kg``
+    (or any directory of stage snapshots with the same schemas)."""
+
+    def __init__(self, spark: SparkSession, kg_dir: str):
+        self.spark = spark
+        self._dir = kg_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self.spark.read.parquet(
+                os.path.join(self._dir, name, "data")
+            )
+        return self._cache[name]
+
+    # -- retrieval modes (reference defaults: top_k=10, context_size=2,
+    #    vector_weight=0.5; config.py:131-134) --------------------------
+
+    def vector_chunks(self, query: str, top_k: int = 10) -> DataFrame:
+        """VectorRetriever.retrieve_chunks (retrieval.py:107-161)."""
+        emb = self.table("chunk_embeddings")
+        return retrieval.vector_search(emb, query, top_k=top_k)
+
+    def graph_chunks(self, query: str, top_k: int = 10) -> DataFrame:
+        """GraphRetriever.retrieve_chunks: term search + entity probe,
+        merged keep-max (retrieval.py:316-371)."""
+        terms = retrieval.query_to_terms(self.spark, query)
+        t = retrieval.term_search(self.table("term_chunk_edges"), terms, top_k=top_k)
+        cands = retrieval.query_entity_candidates(query)
+        if cands:
+            probe = self.spark.createDataFrame(
+                [(c.lower(),) for c in cands], "entity_name string"
+            )
+            e = retrieval.entity_search(self.table("mentions"), probe, top_k=top_k)
+            # entity hits carry a flat score of 1.0 (retrieval.py:341-345)
+            e = e.withColumn("score", F.lit(1.0))
+            t = (
+                t.unionByName(e)
+                .groupBy("chunk_id")
+                .agg(F.max("score").alias("score"))  # dedup-keep-max (A2)
+                .orderBy(F.desc("score"), F.asc("chunk_id"))
+                .limit(top_k)
+            )
+        return t
+
+    def query(
+        self,
+        q: str,
+        mode: str = "hybrid",
+        top_k: int = 10,
+        vector_weight: float = 0.5,
+        context_size: int = 2,
+    ) -> dict:
+        """Returns {"chunks": DataFrame, "triplets": DataFrame | None}.
+
+        chunks columns: chunk_id, text, score (+ is_match/chunk_index in
+        context mode) — the tuple shape the reference prints
+        (cli/main.py:227-309).
+        """
+        v = self.vector_chunks(q, top_k)
+        g = self.graph_chunks(q, top_k)
+        fused = retrieval.hybrid_fuse(v, g, vector_weight=vector_weight, top_k=top_k)
+        chunks_tbl = self.table("chunks")
+
+        if mode == "context":
+            out = retrieval.expand_context(
+                fused.select("chunk_id", "score"), chunks_tbl, context_size
+            )
+            return {"chunks": out, "triplets": None}
+
+        chunks = fused.join(
+            chunks_tbl.select("chunk_id", "text"), "chunk_id", "left"
+        ).select("chunk_id", "text", "score")
+
+        if mode == "triplets":
+            cands = retrieval.query_entity_candidates(q) or [q]
+            probe = self.spark.createDataFrame(
+                [(c,) for c in cands], "entity_name string"
+            )
+            trip = retrieval.topk_triplets_per_entity(
+                self.table("edges"), probe, top_k=top_k
+            )
+            return {"chunks": chunks, "triplets": trip}
+
+        return {"chunks": chunks, "triplets": None}

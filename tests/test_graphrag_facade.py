@@ -1,0 +1,54 @@
+"""End-to-end facade test: build KG -> query in all three reference modes."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+
+@pytest.fixture(scope="module")
+def kg(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kgq"))
+    pages = corpus.pages_spark_df(spark, 120, partitions=4)
+    build_kg(spark, pages, out, input_fingerprint="facade:120", max_tokens=80)
+    return GraphRAG(spark, out)
+
+
+def test_hybrid_mode(kg):
+    res = kg.query("Who founded Globex Systems?", mode="hybrid", top_k=5)
+    rows = res["chunks"].collect()
+    assert 0 < len(rows) <= 5
+    assert res["triplets"] is None
+    assert {"chunk_id", "text", "score"} <= set(rows[0].asDict())
+    # top chunk should actually mention the probed entity
+    assert any("Globex" in r["text"] for r in rows)
+
+
+def test_context_mode_includes_neighbors(kg):
+    res = kg.query("Acme Corporation", mode="context", top_k=3, context_size=1)
+    rows = res["chunks"].collect()
+    assert rows
+    matches = [r for r in rows if r["is_match"]]
+    neighbors = [r for r in rows if not r["is_match"]]
+    assert matches
+    # neighbor chunks come from the same documents, adjacent indices
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_index"])
+    for doc, idxs in by_doc.items():
+        assert max(idxs) - min(idxs) <= 2 * 1 + 1
+
+
+def test_triplets_mode(kg):
+    res = kg.query("Acme Corporation", mode="triplets", top_k=5)
+    trips = res["triplets"].collect()
+    assert 0 < len(trips) <= 5
+    assert all(t["subj_id"] == "acme corporation" for t in trips)
+
+
+def test_vector_and_graph_agree_on_obvious_query(kg):
+    v = {r["chunk_id"] for r in kg.vector_chunks("Globex Systems partnership", 10).collect()}
+    g = {r["chunk_id"] for r in kg.graph_chunks("Globex Systems partnership", 10).collect()}
+    assert v and g
