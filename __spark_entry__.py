@@ -626,6 +626,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_features"] = multimodal_frame_features
 
+    def visual_trends(spark, sf):
+        assets = multimodal.synthetic_visual_assets(spark, n=300)
+        return multimodal.visual_trends(assets)
+
+    q["visual_trends"] = visual_trends
+
     def multimodal_segments(spark, sf):
         frames = multimodal.synthetic_frames(spark, n_assets=3, frames_per_asset=60)
         return multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)

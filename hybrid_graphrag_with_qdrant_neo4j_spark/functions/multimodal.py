@@ -101,3 +101,71 @@ def synthetic_frames(spark, n_assets: int = 4, frames_per_asset: int = 50) -> Da
     return spark.createDataFrame(
         rows, "asset_id string, frame_number int, payload binary"
     )
+
+
+def synthetic_visual_assets(spark, n: int = 300) -> DataFrame:
+    """Deterministic stand-in for the reference's visual-trend collection
+    (trend_detector.py:40,92-116: 512-d embeddings with payload columns
+    ingredients / tags[] / objects[])."""
+    import datetime as dt
+
+    tags_bank = [["pasta", "cheese"], ["sushi", "rice"], ["taco", "salsa"],
+                 ["cheese", "bread"], ["rice", "curry"]]
+    objs_bank = [["pan", "knife"], ["bowl"], ["plate", "fork"], ["pot"]]
+    rows = []
+    for i in range(n):
+        h = zlib.crc32(f"asset{i}".encode())
+        rows.append((
+            f"asset{i}",
+            dt.datetime(2025, 3, 1) + dt.timedelta(hours=(h % 720)),
+            f"creator{h % 23}",
+            tags_bank[h % len(tags_bank)],
+            objs_bank[(h >> 8) % len(objs_bank)],
+            [((h >> (j % 24)) % 251) / 251.0 for j in range(16)],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "asset_id string, ts timestamp, creator_id string, "
+        "tags array<string>, objects array<string>, embedding array<float>",
+    )
+
+
+def visual_trends(assets: DataFrame) -> DataFrame:
+    """Tag-level trend stats + membership-rule classification
+    (trend_detector.py:177-303 shape): explode tags -> day buckets ->
+    velocity/adopters -> arrays_overlap rule cascade."""
+    tagged = assets.select(
+        "asset_id", "creator_id", "objects",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.explode("tags").alias("tag"),
+    )
+    daily = tagged.groupBy("tag", "day").agg(
+        F.count("*").alias("cnt"),
+        F.countDistinct("creator_id").alias("adopters"),
+    )
+    w = Window.partitionBy("tag").orderBy("day")
+    v = daily.withColumn(
+        "velocity", F.col("cnt") - F.coalesce(F.lag("cnt").over(w), F.lit(0))
+    )
+    stats = v.groupBy("tag").agg(
+        F.sum("cnt").alias("total"),
+        F.max("adopters").alias("peak_adopters"),
+        F.round(F.avg("velocity"), 6).alias("avg_velocity"),
+    )
+    # membership rules over array columns (food_analyzer/visual_analyzer
+    # keyword idiom): utensil-heavy tags flagged via arrays_overlap
+    utensils = F.array(F.lit("pan"), F.lit("pot"), F.lit("knife"))
+    tag_objects = (
+        tagged.groupBy("tag").agg(F.flatten(F.collect_set("objects")).alias("objs"))
+    )
+    return (
+        stats.join(tag_objects, "tag")
+        .withColumn("uses_utensils", F.arrays_overlap(F.col("objs"), utensils))
+        .withColumn(
+            "stage",
+            F.when(F.col("avg_velocity") > 0.5, "emerging")
+            .when(F.col("avg_velocity") < -0.5, "fading")
+            .otherwise("steady"),
+        )
+        .select("tag", "total", "peak_adopters", "avg_velocity", "uses_utensils", "stage")
+    )

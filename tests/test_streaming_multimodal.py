@@ -93,3 +93,17 @@ def test_corpus_pipeline_exhibits_embedding_merge(spark):
         assert ents[a] == ents[b] == a
     else:  # extremely unlikely with 400 pages; fail loudly so we notice
         raise AssertionError(f"alias forms missing from corpus: {a in ents}, {b in ents}")
+
+
+def test_visual_trends(spark):
+    assets = multimodal.synthetic_visual_assets(spark, n=200)
+    out = multimodal.visual_trends(assets).collect()
+    tags = {r["tag"] for r in out}
+    assert {"pasta", "cheese", "rice"} <= tags
+    r = {x["tag"]: x for x in out}
+    assert r["pasta"]["total"] > 0 and r["pasta"]["peak_adopters"] > 0
+    assert isinstance(r["pasta"]["uses_utensils"], bool)
+    assert r["pasta"]["stage"] in ("emerging", "fading", "steady")
+    # deterministic
+    out2 = multimodal.visual_trends(multimodal.synthetic_visual_assets(spark, n=200)).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
