@@ -239,6 +239,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["top_suppliers_per_nation"] = top_suppliers_per_nation
 
+    def custs_without_orders(spark, sf):
+        cust = _t(spark, sf, "customer")
+        orders = _t(spark, sf, "orders")
+        return cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        ).select("c_custkey", "c_name", "c_nationkey")
+
+    q["custs_without_orders"] = custs_without_orders
+
+    def parts_above_avg_price(spark, sf):
+        part = _t(spark, sf, "part")
+        avg_price = part.agg(F.avg("p_retailprice").alias("a"))
+        return (
+            part.crossJoin(F.broadcast(avg_price))
+            .filter(F.col("p_retailprice") > F.col("a"))
+            .select("p_partkey", "p_name", F.round("p_retailprice", 2).alias("price"))
+        )
+
+    q["parts_above_avg_price"] = parts_above_avg_price
+
     # ---------------- documents: text curation ops ----------------
 
     def doc_unigram_counts(spark, sf):
@@ -814,6 +834,18 @@ def oracle_sql() -> dict[str, str]:
           FROM supplier
         ) s JOIN nation ON s.s_nationkey = n_nationkey
         WHERE rnk <= 2
+    """
+
+    sqls["custs_without_orders"] = """
+        SELECT c_custkey, c_name, c_nationkey
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+
+    sqls["parts_above_avg_price"] = """
+        SELECT p_partkey, p_name, ROUND(p_retailprice, 2) AS price
+        FROM part
+        WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
     """
 
     sqls["doc_unigram_counts"] = f"""
