@@ -60,9 +60,21 @@ _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 # hybrid retrieval over the result
 # ===========================================================================
 
+_ENTRY_CACHE: dict = {}
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Build the KG from 120 synthetic pages (in-memory, no checkpoints)
-    and also touch the sf0.001 documents table; returns canonical edges."""
+    and also touch the sf0.001 documents table; returns canonical edges.
+
+    Deliberately exercises the *distributed* linking path (bruteforce
+    pair join + hash-min connected components) rather than the
+    driver-local shortcut, so the driver's smoke check covers it.
+    Cached per SparkSession: several queries() entries reuse the edges.
+    """
+    key = id(spark)
+    if key in _ENTRY_CACHE:
+        return _ENTRY_CACHE[key]
     sf_dir = "/root/testdata/sf0.001"
     _ = _t(spark, sf_dir, "documents").count()  # contract: load sf0.001
     pages = corpus.pages_spark_df(spark, 120, partitions=8)
@@ -84,6 +96,8 @@ def entry(spark: SparkSession) -> DataFrame:
         .select("subj_id", "pred", "obj_id", "chunk_id", "url")
         .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
     )
+    edges = edges.persist()
+    _ENTRY_CACHE[key] = edges
     return edges
 
 
