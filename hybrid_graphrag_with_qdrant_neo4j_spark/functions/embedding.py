@@ -91,6 +91,40 @@ def cosine_pairs_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def cosine_vs_query_udf(query_vec):
+    """Arrow-batched cosine of every row's embedding against one fixed
+    query vector: numpy matvec per batch (BLAS), the ~100x-faster
+    replacement for the interpreted ``aggregate``/``zip_with`` scoring
+    that CORRECTNESS_r01 flagged on the kNN hot path.  The query vector
+    is closed over (tiny — serialized once into the UDF, broadcast with
+    the task), so the scan stays a single pass with no join.
+
+    At 768 dims x millions of rows per partition this is memory-bandwidth
+    bound, exactly what a 1000-executor scan wants; the downstream
+    ``orderBy(desc).limit(k)`` still compiles to TakeOrderedAndProject
+    (per-partition partial top-k, k rows to the driver).
+    """
+    import numpy as np
+
+    qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    qn = float(np.sqrt((qv * qv).sum()))
+
+    @F.pandas_udf(T.DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in batches:
+            if len(embs) == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            M = np.stack(embs.to_numpy()).astype(np.float64)
+            num = M @ qv
+            denom = np.sqrt((M * M).sum(axis=1)) * qn
+            yield pd.Series(
+                np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+            )
+
+    return score
+
+
 def query_vector_lit(text: str) -> Column:
     """Embed a query string driver-side into a literal column (tiny —
     broadcast into the scan, retrieval.py:79-105 semantics with the

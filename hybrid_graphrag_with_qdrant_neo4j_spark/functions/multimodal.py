@@ -91,6 +91,69 @@ def temporal_segments(
     ).withColumn("prev_segment_id", F.lag("segment_id").over(w))
 
 
+SEGMENTS_EXACT_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("segment_index", T.IntegerType()),
+        T.StructField("start_time", T.DoubleType()),
+        T.StructField("end_time", T.DoubleType()),
+        T.StructField("frame_count", T.IntegerType()),
+    ]
+)
+
+
+def segment_frames_py(timestamps, segment_duration: float):
+    """Pure-python port of the reference's close-on-crossing segmenter
+    (video_ingest.py:130-175): a segment closes when the NEXT frame's
+    timestamp minus the segment start reaches ``segment_duration`` (or at
+    the last frame); the next segment starts at that next frame's
+    timestamp.  Exact for UNEVEN frame timestamps, where fixed
+    floor(ts/duration) bucketing diverges.  Shared by the Spark UDF and
+    the pytest oracle (parity by construction)."""
+    ts = sorted(timestamps)
+    if not ts:
+        return []
+    out = []
+    seg_idx = 0
+    start = ts[0]
+    count = 0
+    for i, t in enumerate(ts):
+        count += 1
+        last = i == len(ts) - 1
+        if last or ts[i + 1] - start >= segment_duration:
+            out.append((seg_idx, start, t, count))
+            seg_idx += 1
+            count = 0
+            if not last:
+                start = ts[i + 1]
+    return out
+
+
+def temporal_segments_exact(
+    frames: DataFrame, fps: float, segment_duration: float = 5.0
+) -> DataFrame:
+    """Exact-parity temporal segmentation: the segmenter is sequential
+    *within* a video and embarrassingly parallel *across* videos, so
+    ``applyInPandas`` over asset_id is the Spark shape (one Arrow batch
+    per video; never split one video's frames across partitions).  Use
+    ``temporal_segments`` (fixed bucketing, pure codegen, no UDF) when
+    frames are evenly sampled — the two agree there by construction."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        asset = pdf["asset_id"].iloc[0]
+        ts = (pdf["frame_number"] / fps).tolist()
+        rows = [
+            (asset, idx, start, end, n)
+            for idx, start, end, n in segment_frames_py(ts, segment_duration)
+        ]
+        return pd.DataFrame(
+            rows,
+            columns=["asset_id", "segment_index", "start_time", "end_time", "frame_count"],
+        )
+
+    return frames.groupBy("asset_id").applyInPandas(run, SEGMENTS_EXACT_SCHEMA)
+
+
 def synthetic_frames(spark, n_assets: int = 4, frames_per_asset: int = 50) -> DataFrame:
     """Deterministic fake binary payloads for tests (no external data)."""
     rows = [

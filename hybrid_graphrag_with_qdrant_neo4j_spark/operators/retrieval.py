@@ -24,16 +24,19 @@ def vector_search(
 ) -> DataFrame:
     """Brute-force scored scan + distributed top-k.
 
-    The query vector is a literal (broadcast into the scan); scoring is a
-    JVM-side dot product (embeddings are L2-normalized, so dot == cosine,
-    common.py:86 + ingest.py:119); ``orderBy(desc).limit(k)`` compiles to
-    TakeOrderedAndProject — partial top-k per partition, k rows to the
-    driver.  At 10^12 scale the same plan runs behind an LSH/IVF
+    Scoring is an Arrow-batched numpy matvec against the (tiny, closed-
+    over) query vector — embeddings are L2-normalized so cosine == dot
+    (common.py:86 + ingest.py:119); ``orderBy(desc).limit(k)`` compiles
+    to TakeOrderedAndProject — partial top-k per partition, k rows to
+    the driver.  At 10^12 scale the same plan runs behind an LSH/IVF
     pre-filter (see operators.similarity.ann_lsh_topk).
     """
-    q = E.query_vector_lit(query_text)
+    from .. import textproc as tp
+
+    qvec = tp.embed_text_py("query: " + query_text)
+    score = E.cosine_vs_query_udf(qvec)
     return (
-        chunk_embeddings.withColumn("score", E.dot(F.col("embedding"), q))
+        chunk_embeddings.withColumn("score", score(F.col("embedding")))
         .orderBy(F.desc("score"), F.asc("chunk_id"))
         .limit(top_k)
         .select("chunk_id", "score")
@@ -214,6 +217,6 @@ def topk_triplets_per_entity(
         probe.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
-        .orderBy("subj_id", "pred", "obj_id")
+        .orderBy("subj_id", "pred", "obj_id", "chunk_id")
         .limit(top_k)
     )

@@ -58,13 +58,24 @@ def salted_count_distinct(
 def salted_distinct(
     df: DataFrame,
     keys: Sequence[str],
+    tiebreak_col: str | None = None,
     num_salts: int = DEFAULT_SALTS,
 ) -> DataFrame:
-    """Distinct rows on `keys`, two-phase: per-(salt-of-full-key) partial
-    dedup, then global dedup.  The global phase only sees one row per
-    (key, salt) — bounded fan-in per hot key."""
-    salted = df.select(*keys).withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(num_salts))
+    """Distinct rows on `keys`, two-phase.  The salt MUST come from a
+    high-cardinality column that is NOT part of the dedup key
+    (``tiebreak_col``) — a salt derived from the key itself is
+    functionally dependent on it and spreads nothing (ADVICE r1).  Phase
+    1 dedups (key, salt): the hot key's rows land on num_salts reducers;
+    phase 2 sees at most num_salts rows per key."""
+    if tiebreak_col is None:
+        non_key = [c for c in df.columns if c not in keys]
+        if not non_key:
+            # nothing to salt from: map-side partial aggregation already
+            # collapses duplicates before the single shuffle
+            return df.select(*keys).groupBy(*keys).agg(F.lit(1).alias("_one")).drop("_one")
+        tiebreak_col = non_key[0]
+    salted = df.select(*keys, tiebreak_col).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(tiebreak_col)), F.lit(num_salts))
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.lit(1).alias("_one"))
     return partial.groupBy(*keys).agg(F.lit(1).alias("_one")).drop("_one")

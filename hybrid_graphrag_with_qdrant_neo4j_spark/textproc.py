@@ -140,8 +140,9 @@ def parse_triplet_output(triplet_text: str) -> List[Tuple[str, str, str]]:
         parts = re.split(r"\s{2,}", cleaned_text)
         if len(parts) == 3:
             subj, rel, obj = parts[0].strip(), parts[1].strip(), parts[2].strip()
-            if subj and rel and obj:
-                triplets.append((subj, rel, obj))
+            # reference appends UNCONDITIONALLY here (triplets.py:182-188)
+            # — only the marker path has the truthiness guard (:174)
+            triplets.append((subj, rel, obj))
     return triplets
 
 

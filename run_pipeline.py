@@ -44,7 +44,18 @@ def main() -> None:
 
     if args.input:
         pages = spark.read.parquet(args.input)
-        fingerprint = f"input:{args.input}"
+        # fingerprint from input CONTENT metadata, not the path: an
+        # in-place rewrite of the parquet must invalidate the resume
+        # snapshots (ADVICE r1)
+        import hashlib
+
+        h = hashlib.sha256()
+        for root, _dirs, files in sorted(os.walk(args.input)):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        fingerprint = f"input:{args.input}:{h.hexdigest()[:16]}"
     else:
         pages = corpus.pages_spark_df(
             spark, args.pages, seed=args.seed, partitions=partitions

@@ -66,6 +66,42 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES.keys()) <= set(QUERIES.keys())
 
 
+# canonical type classes: Spark dtype string / DuckDB type string -> class.
+# Anything NOT in the map (HUGEINT, DECIMAL, ...) maps to itself and fails
+# the comparison — that is the point: DuckDB widening integer SUM to
+# HUGEINT made 5 r1 queries hash-fail in the driver even though python
+# ``==`` saw equal values.
+# int widths are one class: CORRECTNESS_r01 shows the driver hash
+# forgives i32-vs-i64 (doc_token_stats was green) but NOT int-vs-float
+# (HUGEINT -> pandas float64 made 5 queries hash-fail).
+_TYPE_CANON = {
+    "bigint": "int", "BIGINT": "int",
+    "int": "int", "INTEGER": "int",
+    "smallint": "int", "SMALLINT": "int",
+    "tinyint": "int", "TINYINT": "int",
+    "double": "f64", "DOUBLE": "f64", "FLOAT8": "f64",
+    "float": "f32", "FLOAT": "f32", "REAL": "f32",
+    "string": "str", "VARCHAR": "str",
+    "boolean": "bool", "BOOLEAN": "bool",
+    "date": "date", "DATE": "date",
+}
+
+
+def _canon_types(pairs):
+    out = {}
+    for name, t in pairs:
+        s = str(t)
+        # the driver compares pandas-converted values: DuckDB DECIMAL and
+        # HUGEINT both land as float64 — harmless vs a Spark double
+        # (term_search_docs was green in r1) but a hash-fail vs a Spark
+        # bigint (the five r1 failures)
+        if s.startswith("DECIMAL") or s == "HUGEINT":
+            out[name] = "f64"
+        else:
+            out[name] = _TYPE_CANON.get(s, s)
+    return out
+
+
 @pytest.mark.parametrize("name", CHECKED)
 def test_query_matches_oracle(name, spark, sf_dir):
     df = QUERIES[name](spark, sf_dir)
@@ -73,9 +109,16 @@ def test_query_matches_oracle(name, spark, sf_dir):
     got = _spark_rows(df, cols)
     con = _duck(sf_dir)
     try:
+        rel = con.sql(ORACLES[name])
+        duck_types = _canon_types(zip(rel.columns, rel.types))
         want = _duck_rows(con, ORACLES[name], cols)
     finally:
         con.close()
+    spark_types = _canon_types(df.dtypes)
+    assert spark_types == duck_types, (
+        f"{name}: declared type mismatch (driver hashes typed values): "
+        f"spark={spark_types} duckdb={duck_types}"
+    )
     assert len(got) == len(want), f"{name}: row count {len(got)} vs {len(want)}"
     mism = [(a, b) for a, b in zip(got, want) if a != b][:5]
     assert got == want, f"{name}: first diffs {mism}"

@@ -28,8 +28,27 @@ def test_salted_count_distinct_equals_plain(spark):
 def test_salted_distinct_equals_plain(spark):
     df = _skewed_df(spark)
     plain = {tuple(r) for r in df.select("key", "user").distinct().collect()}
-    salted = {tuple(r) for r in skew.salted_distinct(df, ["key", "user"]).collect()}
+    salted = {
+        tuple(r)
+        for r in skew.salted_distinct(df, ["key", "user"], tiebreak_col="chunk").collect()
+    }
     assert salted == plain
+
+
+def test_salted_distinct_salt_spreads_hot_key(spark):
+    """The salt must be independent of the dedup key: the hot key's rows
+    must land in >1 (key, salt) bucket (the r1 version salted with the
+    key itself, so everything collapsed into one bucket)."""
+    df = _skewed_df(spark)
+    from pyspark.sql import functions as F2
+
+    salted = df.select("key", "user", "chunk").withColumn(
+        "_salt", F2.pmod(F2.xxhash64(F2.col("chunk")), F2.lit(skew.DEFAULT_SALTS))
+    )
+    n_buckets = (
+        salted.filter(F2.col("key") == "hot").select("_salt").distinct().count()
+    )
+    assert n_buckets > 1
 
 
 def test_salted_join_equals_plain(spark):

