@@ -790,30 +790,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def _mm_frames(spark, n_assets, frames_per_asset, name):
+        """Materialize the deterministic synthetic frames to parquet so
+        the DuckDB oracle recomputes the SAME decode from the SAME raw
+        payloads (payload_str twin column: DuckDB md5 takes VARCHAR;
+        payloads are ASCII so md5(str) == md5(bytes))."""
+        frames = multimodal.synthetic_frames(
+            spark, n_assets=n_assets, frames_per_asset=frames_per_asset
+        ).withColumn("payload_str", F.col("payload").cast("string"))
+        path = os.path.join(_KG_DIR, f"{name}.parquet")
+        frames.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     def multimodal_frame_features(spark, sf):
-        frames = multimodal.synthetic_frames(spark, n_assets=4, frames_per_asset=40)
+        frames = _mm_frames(spark, 4, 40, "mm_frames")
         sampled = multimodal.sample_frames(frames, every_nth=4)
-        feats = multimodal.extract_frame_features(sampled)
-        # serialize the array column: the driver's pandas canonical sort
-        # cannot factorize list-typed cells (CORRECTNESS_r01 TypeError)
+        feats = multimodal.extract_frame_features(
+            sampled.select("asset_id", "frame_number", "payload")
+        )
+        # serialize the array column (the driver's pandas canonical sort
+        # cannot factorize list-typed cells, CORRECTNESS_r01 TypeError) —
+        # as the exact integer numerators k of k/251.0, which both
+        # engines format identically (float repr would not be stable)
         return feats.select(
             "asset_id",
             "frame_number",
             "width",
             "height",
-            F.to_json(F.col("feature")).alias("feature_json"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    "feature",
+                    lambda x: F.round(x.cast("double") * 251.0).cast("int"),
+                ),
+            ).alias("feature_k251"),
         )
 
     q["multimodal_frame_features"] = multimodal_frame_features
 
     def visual_trends(spark, sf):
         assets = multimodal.synthetic_visual_assets(spark, n=300)
-        return multimodal.visual_trends(assets)
+        path = os.path.join(_KG_DIR, "mm_assets.parquet")
+        assets.write.mode("overwrite").parquet(path)
+        return multimodal.visual_trends(spark.read.parquet(path))
 
     q["visual_trends"] = visual_trends
 
     def multimodal_segments(spark, sf):
-        frames = multimodal.synthetic_frames(spark, n_assets=3, frames_per_asset=60)
+        frames = _mm_frames(spark, 3, 60, "mm_frames_seg")
         return multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)
 
     q["multimodal_segments"] = multimodal_segments
@@ -1859,6 +1883,242 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT chunk_id, doc_id, chunk_index, text, is_match,
                ROUND(score, 6) AS score
+        FROM ranked WHERE rn = 1
+    """
+
+    # SimHash recomputed from scratch: md5 low-64 per token (the hash was
+    # chosen BECAUSE all three engines share md5 — see dedup.simhash_py),
+    # +/-1 per bit position, sign-reassemble, signed-int64 wrap.
+    sqls["simhash_fingerprints"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+        ), th AS (
+          SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+          FROM toks
+        ), bits AS (
+          SELECT doc_id, i,
+                 SUM(CASE WHEN (h >> CAST(i AS UBIGINT)) & 1 = 1
+                     THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS i)
+          GROUP BY doc_id, i
+        ), fp AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN acc > 0 THEN (1::HUGEINT << CAST(i AS INT))
+                     ELSE 0::HUGEINT END) AS u
+          FROM bits GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(u, 0) - CASE
+                    WHEN COALESCE(u, 0) >= 9223372036854775808::HUGEINT
+                    THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS BIGINT) AS simhash
+        FROM documents d LEFT JOIN fp USING (doc_id)
+    """
+
+    # term_chunk_edges recomputed from scratch: unigrams are
+    # stopword-filtered, bi/tri-grams built over the UNFILTERED token
+    # stream (the reference subtlety, nlp_graph.py:47-55), MERGE-dedup =
+    # DISTINCT on (chunk_id, term, type).
+    sqls["kg_term_edges_documents"] = f"""
+        WITH t AS (
+          SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+                 {_SQL_TOKENS} AS toks
+          FROM documents
+        ),
+        uni AS (
+          SELECT chunk_id, unnest(toks) AS term, 'unigram' AS type FROM t
+        ),
+        bi AS (
+          SELECT chunk_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS term,
+                 'bigram' AS type
+          FROM t
+        ),
+        tri AS (
+          SELECT chunk_id,
+                 unnest(list_transform(range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+                   AS term,
+                 'trigram' AS type
+          FROM t
+        )
+        SELECT DISTINCT chunk_id, term, type FROM (
+          SELECT * FROM uni WHERE term NOT IN ({stoplist})
+          UNION ALL SELECT * FROM bi
+          UNION ALL SELECT * FROM tri
+        )
+    """
+
+    # Frame-feature decode recomputed from the SAME raw payloads the
+    # Spark operator consumed (mm_frames parquet, payload_str twin):
+    # h = md5 low-32, width/height/feature formulas mirror
+    # multimodal._decode_image_stub exactly.
+    _mm_h = "('0x' || substr(md5(payload_str), 1, 8))::UBIGINT"
+    sqls["multimodal_frame_features"] = f"""
+        WITH f AS (
+          SELECT asset_id, frame_number, {_mm_h} AS h
+          FROM {_kg_pq("mm_frames")}
+          WHERE frame_number % 4 = 0
+        )
+        SELECT asset_id, frame_number,
+               CAST(64 + h % 64 AS INT) AS width,
+               CAST(64 + (h >> 8) % 64 AS INT) AS height,
+               array_to_string(list_transform(range(0, 16),
+                 i -> CAST((h >> CAST(i % 24 AS UBIGINT)) % 251 AS VARCHAR)),
+                 ',') AS feature_k251
+        FROM f
+    """
+
+    sqls["multimodal_segments"] = f"""
+        WITH s AS (
+          SELECT asset_id,
+                 CAST(floor((frame_number / 2.0) / 5.0) AS INT) AS segment_id,
+                 frame_number / 2.0 AS ts
+          FROM {_kg_pq("mm_frames_seg")}
+        ), agg AS (
+          SELECT asset_id, segment_id,
+                 MIN(ts) AS start_time, MAX(ts) AS end_time,
+                 COUNT(*) AS n_frames
+          FROM s GROUP BY asset_id, segment_id
+        )
+        SELECT asset_id, segment_id, start_time, end_time, n_frames,
+               CAST(ROW_NUMBER() OVER w - 1 AS INT) AS temporal_index,
+               LEAD(segment_id) OVER w AS next_segment_id,
+               LAG(segment_id) OVER w AS prev_segment_id
+        FROM agg
+        WINDOW w AS (PARTITION BY asset_id ORDER BY segment_id)
+    """
+
+    # visual_trends recomputed over the materialized asset table;
+    # arrays_overlap(union of objects) == BOOL_OR(per-asset overlap)
+    sqls["visual_trends"] = f"""
+        WITH tagged AS (
+          SELECT asset_id, creator_id, objects,
+                 strftime(ts, '%Y-%m-%d') AS day, unnest(tags) AS tag
+          FROM {_kg_pq("mm_assets")}
+        ), daily AS (
+          SELECT tag, day, COUNT(*) AS cnt,
+                 COUNT(DISTINCT creator_id) AS adopters
+          FROM tagged GROUP BY 1, 2
+        ), v AS (
+          SELECT tag, day, cnt, adopters,
+                 cnt - COALESCE(LAG(cnt) OVER (PARTITION BY tag ORDER BY day), 0)
+                   AS velocity
+          FROM daily
+        ), stats AS (
+          SELECT tag, CAST(SUM(cnt) AS BIGINT) AS total,
+                 MAX(adopters) AS peak_adopters,
+                 ROUND(AVG(velocity), 6) AS avg_velocity
+          FROM v GROUP BY tag
+        ), uo AS (
+          SELECT tag,
+                 BOOL_OR(list_has_any(objects, ['pan', 'pot', 'knife']))
+                   AS uses_utensils
+          FROM tagged GROUP BY tag
+        )
+        SELECT s.tag, s.total, s.peak_adopters, s.avg_velocity,
+               uo.uses_utensils,
+               CASE WHEN s.avg_velocity > 0.5 THEN 'emerging'
+                    WHEN s.avg_velocity < -0.5 THEN 'fading'
+                    ELSE 'steady' END AS stage
+        FROM stats s JOIN uo USING (tag)
+    """
+
+    # ann_lsh_topk recomputed from scratch: the seeded hyperplanes
+    # (similarity._tables_planes, seed=1337) are embedded as literal
+    # lists; bucket bits, per-table hamming distance to the query's
+    # bits, radius-2 probe, exact-cosine rerank — the whole ANN path,
+    # not a passthrough.  Hamming(code_t(e), code_t(q)) == number of
+    # sign-bit disagreements, so codes never need assembling.
+    import numpy as _np
+
+    _ann_planes = []
+    _rng = _np.random.default_rng(1337)
+    for _t in range(4):
+        _p = _rng.standard_normal((64, 8))
+        for _b in range(8):
+            _vals = ", ".join(repr(float(v)) for v in _p[:, _b])
+            _ann_planes.append(f"({_t}, {_b}, [{_vals}])")
+    _planes_values = ",\n          ".join(_ann_planes)
+    adot = dot.format(a="e.embedding", b="q.embedding")
+    ana = norm.format(x="e.embedding")
+    anb = norm.format(x="q.embedding")
+    sqls["ann_lsh_topk"] = f"""
+        WITH planes(t, b, vals) AS (VALUES
+          {_planes_values}
+        ),
+        idx AS (SELECT unnest(range(1, 65)) AS i),
+        ebits AS (
+          SELECT v.vec_id, p.t, p.b,
+                 SUM(v.embedding[idx.i]::DOUBLE * p.vals[idx.i]) >= 0.0 AS bit
+          FROM embeddings v CROSS JOIN planes p CROSS JOIN idx
+          GROUP BY v.vec_id, p.t, p.b
+        ),
+        qbits AS (
+          SELECT t, b, bit FROM ebits WHERE vec_id = 0
+        ),
+        ham AS (
+          SELECT e.vec_id, e.t,
+                 SUM(CASE WHEN e.bit <> qb.bit THEN 1 ELSE 0 END) AS d
+          FROM ebits e JOIN qbits qb ON e.t = qb.t AND e.b = qb.b
+          GROUP BY e.vec_id, e.t
+        ),
+        cand AS (
+          SELECT DISTINCT vec_id FROM ham WHERE d <= 2
+        ),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(CASE WHEN {ana} = 0.0 OR {anb} = 0.0 THEN 0.0
+                     ELSE {adot} / ({ana} * {anb}) END, 6) AS score
+        FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """
+
+    # Greedy sentence-packing chunker recomputed from scratch as a
+    # recursive CTE: the same sequential fold chunk_text performs
+    # (flush when cur_len + next > max_tokens), one recursion step per
+    # sentence index across all docs simultaneously.  RE2 has no
+    # lookbehind, so the sentence split '(?<=[.!?])\\s+' is emulated by
+    # rewriting punct+ws to punct+\\x01 and splitting on \\x01.
+    sqls["kg_chunks_documents"] = r"""
+        WITH RECURSIVE base AS (
+          SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+                 list_filter(
+                   string_split(
+                     regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'),
+                     chr(1)),
+                   s -> trim(s) <> '') AS sents
+          FROM documents WHERE text IS NOT NULL AND text <> ''
+        ), sen AS (
+          SELECT doc_id, lang, sents,
+                 list_transform(sents,
+                   s -> len(regexp_extract_all(s, '[\w]+|[^\w\s]'))) AS cnts,
+                 len(sents) AS n
+          FROM base WHERE len(sents) > 0
+        ), walk AS (
+          SELECT doc_id, lang, sents, cnts, n,
+                 1 AS i, 0 AS chunk_idx, cnts[1] AS cur_len,
+                 sents[1] AS cur_text
+          FROM sen
+          UNION ALL
+          SELECT doc_id, lang, sents, cnts, n, i + 1,
+                 CASE WHEN cur_len + cnts[i+1] > 40
+                      THEN chunk_idx + 1 ELSE chunk_idx END,
+                 CASE WHEN cur_len + cnts[i+1] > 40
+                      THEN cnts[i+1] ELSE cur_len + cnts[i+1] END,
+                 CASE WHEN cur_len + cnts[i+1] > 40
+                      THEN sents[i+1] ELSE cur_text || ' ' || sents[i+1] END
+          FROM walk WHERE i < n
+        ), ranked AS (
+          SELECT doc_id, lang, chunk_idx, cur_text,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx
+                                    ORDER BY i DESC) AS rn
+          FROM walk
+        )
+        SELECT doc_id AS url, doc_id, lang,
+               doc_id || '_chunk' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
+               CAST(chunk_idx AS INT) AS chunk_index, cur_text AS text
         FROM ranked WHERE rn = 1
     """
 

@@ -11,6 +11,7 @@ decoder changes only the marked inner functions.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from typing import Iterator
 
@@ -31,10 +32,12 @@ FRAME_FEATURES_SCHEMA = T.StructType(
 def _decode_image_stub(raw: bytes) -> tuple:
     """STUB decoder — deterministic fake (no image libs in container).
     Real impl: cv2.imdecode / PIL.Image.open.  Raises on empty payload
-    the way a real decoder errors on truncated bytes."""
+    the way a real decoder errors on truncated bytes.  md5-derived (not
+    crc32) so the DuckDB oracle can recompute the decode from the raw
+    payload — md5 is the only hash shared by Python/Spark/DuckDB."""
     if not raw:
         raise ValueError("empty image payload")
-    h = zlib.crc32(raw)
+    h = int(hashlib.md5(raw).hexdigest()[:8], 16)
     width, height = 64 + h % 64, 64 + (h >> 8) % 64
     feat = [((h >> (i % 24)) % 251) / 251.0 for i in range(16)]
     return width, height, feat

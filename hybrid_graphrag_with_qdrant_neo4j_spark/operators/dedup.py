@@ -14,6 +14,7 @@ exact similarity only inside buckets.
 
 from __future__ import annotations
 
+import hashlib
 import zlib
 from typing import Iterator, List
 
@@ -142,8 +143,10 @@ def simhash_py(text: str) -> int:
     acc = np.zeros(64, dtype=np.int64)
     shifts = np.arange(64, dtype=np.uint64)
     for t in toks:
-        # full 64-bit hash exceeds int64 -> keep it in uint64 domain
-        h = np.uint64((_crc(t, 0) << 32) | _crc(t, 1))
+        # md5 low-64: deterministic AND recomputable by the DuckDB oracle
+        # (md5 is the only shared hash between Python/Spark/DuckDB; crc32
+        # would leave the fingerprint a rows-only check)
+        h = np.uint64(int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16))
         bits = (h >> shifts) & np.uint64(1)
         acc += np.where(bits == 1, 1, -1)
     out = 0
