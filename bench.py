@@ -115,7 +115,36 @@ def main() -> None:
         en = chunks.filter(F.col("lang") == "en")
         terms = ngrams.term_chunk_edges(en)
         t = triples_op.triples_raw(en).persist()
+        # materialize the persisted upstream BEFORE the linking/CC
+        # section: connected_components localCheckpoints eagerly, and its
+        # first job otherwise evaluates the whole UDF chain through BOTH
+        # legs of the LSH self-join concurrently — cache-lock
+        # serialization + duplicated python-UDF stages measured 67s vs
+        # 9s for the same work on this host (see BENCH/BASELINE.md)
+        t.count()
         ents = linking.entity_nodes(t)
+
+        profile = os.environ.get("SPARK_GRAFT_KG_PROFILE") == "1"
+        prof: dict[str, float] = {}
+        t0p = time.perf_counter()
+
+        def lap(name):
+            nonlocal t0p
+            now = time.perf_counter()
+            prof[name] = round(now - t0p, 2)
+            t0p = now
+
+        if profile:
+            # materialize the persist points BEFORE mapping construction:
+            # connected_components localCheckpoints eagerly, so building
+            # `mapping` otherwise absorbs the whole upstream UDF chain
+            # and the profile mis-attributes extract/chunk/triple time
+            chunks.count()
+            lap("extract+chunk")
+            t.count()
+            lap("triples")
+            prof["n_entities"] = ents.count()
+            lap("entity_dedup")
         # scale-adaptive link+canonicalize (driver path under 10k
         # entities; LSH + distributed CC above — see operators.linking).
         # FORCE_DISTRIBUTED pins the distributed path so the two
@@ -145,8 +174,20 @@ def main() -> None:
             .groupBy("subj_id", "pred", "obj_id", "chunk_id")
             .agg(F.first("url").alias("url"))
         )
-        _force(terms)
-        _force(edges)
+        if profile:
+            # mapping construction was eager (CC localCheckpoints), so
+            # the time since the last lap IS link+cc
+            mapping.persist().count()
+            lap("link+cc")
+            _force(terms)
+            lap("terms")
+            _force(edges)
+            lap("edges")
+            print(f"KG_PROFILE {json.dumps(prof)}", file=sys.stderr, flush=True)
+            mapping.unpersist()
+        else:
+            _force(terms)
+            _force(edges)
         t.unpersist()
         chunks.unpersist()
         return time.perf_counter() - t0

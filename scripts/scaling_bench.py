@@ -37,13 +37,14 @@ def _steal() -> int:
     return int(open("/proc/stat").readline().split()[8])
 
 
-def run_level(cpus: int, pages: int, shuffle: int, max_tries: int = 3) -> dict:
+def run_level(cpus: int, pages: int, shuffle: int, max_tries: int = 3,
+              pin: bool = False, adaptive: bool = False) -> dict:
     env = dict(
         os.environ,
         SPARK_GRAFT_CPUS=str(cpus),
         SPARK_GRAFT_ONLY_KG="1",
         SPARK_GRAFT_KG_PAGES=str(pages),
-        SPARK_GRAFT_FORCE_DISTRIBUTED="1",
+        SPARK_GRAFT_FORCE_DISTRIBUTED="0" if adaptive else "1",
         SPARK_GRAFT_SHUFFLE=str(shuffle),
         SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"),
     )
@@ -51,8 +52,15 @@ def run_level(cpus: int, pages: int, shuffle: int, max_tries: int = 3) -> dict:
     for attempt in range(1, max_tries + 1):
         s0 = _steal()
         t0 = time.time()
+        cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+        if pin:
+            # hard-pin the WHOLE process tree (JVM, GC/IO threads, python
+            # workers) to exactly `cpus` physical cores — local[N] alone
+            # only limits task slots, letting GC + python workers spill
+            # onto idle cores and inflating the low level's throughput
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
         proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
+            cmd,
             env=env,
             capture_output=True,
             text=True,
@@ -91,10 +99,16 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--shuffle", type=int, default=64)
+    ap.add_argument("--pin", action="store_true")
+    ap.add_argument("--adaptive", action="store_true",
+                    help="production-default scale-adaptive linking (local "
+                         "resolution under 10k entities) instead of forcing "
+                         "the distributed LSH+CC path; both levels still run "
+                         "the IDENTICAL plan")
     args = ap.parse_args()
 
-    lo = run_level(args.low, args.pages, args.shuffle)
-    hi = run_level(args.high, args.pages, args.shuffle)
+    lo = run_level(args.low, args.pages, args.shuffle, pin=args.pin, adaptive=args.adaptive)
+    hi = run_level(args.high, args.pages, args.shuffle, pin=args.pin, adaptive=args.adaptive)
     if not lo or not hi:
         sys.exit("scaling run failed to produce JSON at one or both levels")
 
@@ -104,6 +118,8 @@ def main() -> None:
     result = {
         "pages": args.pages,
         "shuffle_partitions": args.shuffle,
+        "pinned": args.pin,
+        "linking": "adaptive" if args.adaptive else "forced_distributed",
         "low": {"cpus": args.low, "docs_per_sec": lo["docs_per_sec"],
                 "kg_sec": lo["queries"]["kg_pipeline"], "steal_ticks": lo["steal_ticks"]},
         "high": {"cpus": args.high, "docs_per_sec": hi["docs_per_sec"],

@@ -84,6 +84,31 @@ def test_lsh_pairs_match_bruteforce(spark):
     assert got == want
 
 
+def test_lsh_udf_not_pushed_below_entity_dedup(spark):
+    """Plan regression gate: Catalyst must NOT push the signature/embed
+    UDF chain below the entity-dedup aggregate (it would re-embed every
+    raw mention instead of every distinct entity — measured 40-75s vs
+    4.5s at 24k pages; at 10^12 docs it is embedding ~10^13 mentions
+    instead of ~10^9 entities).  Guarded by asNondeterministic() on the
+    signature UDF in linking._signature_udf."""
+    import re
+
+    triples = spark.createDataFrame(
+        [("acme corp", "founded", "jane doe", "c0", "u0")] * 5,
+        "subj string, pred string, obj string, chunk_id string, url string",
+    )
+    pairs = linking.similarity_pairs(linking.entity_nodes(triples))
+    plan = pairs._sc._jvm.PythonSQLUtils.explainString(
+        pairs._jdf.queryExecution(), "formatted"
+    )
+    # the pushed-down pattern evaluates signatures(embed_udf(...)) over
+    # the raw subj/obj columns (below the dedup); the healthy plan only
+    # evaluates it over the deduped `name` column
+    assert not re.search(r"signatures\(embed_udf\([^)]*(subj|obj)#", plan), (
+        "embed/signature UDF chain was pushed below the entity dedup"
+    )
+
+
 def test_cc_large_chain(spark):
     # a chain of 20 nodes converges to a single component, min-name canonical
     pairs = spark.createDataFrame(
