@@ -57,6 +57,57 @@ def start_incremental_ingest(
     )
 
 
+def streaming_first_seen(
+    docs_stream: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: streaming
+    exact dedup — emit each document the FIRST time its content hash is
+    seen across the whole stream, suppress every later duplicate.
+
+    This is the streaming twin of operators.dedup.exact_dedup and the
+    shape a continuous training-data ingest needs (a crawl re-fetches
+    the same page forever; the corpus must receive it once).  State is
+    keyed by md5(text) — one boolean per distinct content, partitioned
+    by the engine's state store, so state size tracks DISTINCT content,
+    not stream volume.  At 10^12 docs the state store is RocksDB-backed
+    and sharded across executors; the operator shape is unchanged.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{id_col} string, content_hash string"
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            # content already emitted in an earlier batch: suppress
+            for _ in pdf_iter:
+                pass
+            return
+        first_id = None
+        for pdf in pdf_iter:
+            if len(pdf) and first_id is None:
+                # deterministic winner: min id within the batch
+                first_id = str(pdf[id_col].astype(str).min())
+        if first_id is None:
+            return
+        state.update((1,))
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        yield pd.DataFrame({id_col: [first_id], "content_hash": [key[0]]})
+
+    hashed = docs_stream.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.select(F.col(id_col).cast("string").alias(id_col), "content_hash").groupBy(
+        "content_hash"
+    ).applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType="seen int",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessions(
     events_stream: DataFrame, gap_minutes: int = 30, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -168,3 +168,49 @@ def test_visual_trends(spark):
     # deterministic
     out2 = multimodal.visual_trends(multimodal.synthetic_visual_assets(spark, n=200)).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState exact dedup: a duplicate re-fed in a LATER
+    micro-batch is suppressed by keyed state (exact_dedup's streaming
+    twin)."""
+    import os
+
+    in_dir = str(tmp_path / "sin")
+    out_dir = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+    os.makedirs(in_dir)
+
+    schema = "doc_id string, text string"
+    b1 = spark.createDataFrame(
+        [("1", "alpha beta"), ("2", "gamma delta"), ("3", "alpha beta")], schema
+    )
+    b1.coalesce(1).write.mode("append").parquet(in_dir)
+
+    def run_available():
+        stream = spark.readStream.schema(schema).format("parquet").load(in_dir)
+        deduped = sing.streaming_first_seen(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_available()
+    out1 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # in-batch dedup: doc 3 duplicates doc 1's content, min id wins
+    assert out1 == {"1", "2"}
+
+    # batch 2: one duplicate of batch-1 content + one new doc
+    b2 = spark.createDataFrame(
+        [("4", "alpha beta"), ("5", "epsilon zeta")], schema
+    )
+    b2.coalesce(1).write.mode("append").parquet(in_dir)
+    run_available()
+    out2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    # cross-batch state suppressed doc 4; doc 5 is genuinely new
+    assert out2 == {"1", "2", "5"}
