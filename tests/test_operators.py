@@ -238,3 +238,24 @@ def test_jvm_cosine_equals_python(spark):
     df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
     got = df.select(E.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
     assert got == tp.cosine(a, b)  # bitwise: same float32 inputs, same order
+
+
+def test_pair_generators_never_cartesian(spark):
+    """Plan gate (VERDICT r1 #5): every pair generator wired into
+    queries() must join on a block key — no CartesianProduct /
+    BroadcastNestedLoopJoin in the physical plan.  An unblocked
+    self-join is O(n^2) shuffle at 100 TB regardless of how correct it
+    is at 500 rows."""
+    import __spark_entry__ as em
+
+    q = em.queries()
+    sf = "/root/testdata/sf0.001"
+    for name in ("cosine_dup_pairs", "jaccard_near_dups", "minhash_near_dups"):
+        df = q[name](spark, sf)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "simple"
+        )
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian join"
+        assert "BroadcastNestedLoopJoin" not in plan, (
+            f"{name} plans an unblocked nested-loop join"
+        )
