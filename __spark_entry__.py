@@ -790,6 +790,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_topk"] = ann_lsh_topk
 
+    def ann_ivf_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        return similarity.ivf_topk(emb, qvec, top_k=10, centroid_step=50, n_probe=3)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
     def _mm_frames(spark, n_assets, frames_per_asset, name):
         """Materialize the deterministic synthetic frames to parquet so
         the DuckDB oracle recomputes the SAME decode from the SAME raw
@@ -2072,6 +2082,46 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN {ana} = 0.0 OR {anb} = 0.0 THEN 0.0
                      ELSE {adot} / ({ana} * {anb}) END, 6) AS score
         FROM embeddings e JOIN cand USING (vec_id), q
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """
+
+    # IVF-flat ANN recomputed from scratch: the centroid set is a pure
+    # function of the table (vec_id % 50 = 0), so the oracle rebuilds the
+    # whole index — assignment (argmax cosine, tie -> lower centroid id),
+    # 3-probe selection, exact rerank over the probed inverted lists.
+    _cdot = dot.format(a="v.embedding", b="c.embedding")
+    _cna = norm.format(x="v.embedding")
+    _cnb = norm.format(x="c.embedding")
+    _ccos = f"""CASE WHEN {_cna} = 0.0 OR {_cnb} = 0.0 THEN 0.0
+                ELSE {_cdot} / ({_cna} * {_cnb}) END"""
+    sqls["ann_ivf_topk"] = f"""
+        WITH cents AS (
+          SELECT vec_id AS cid, embedding FROM embeddings
+          WHERE vec_id % 50 = 0
+        ),
+        assign AS (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ccos} DESC, c.cid ASC) AS rn
+          FROM embeddings v CROSS JOIN cents c
+        ),
+        assigned AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+        probe AS (
+          SELECT c.cid FROM cents c,
+               (SELECT embedding FROM embeddings WHERE vec_id = 0) v(embedding)
+          ORDER BY {_ccos.replace("v.embedding", "v.embedding")} DESC, c.cid ASC
+          LIMIT 3
+        ),
+        q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(CASE WHEN {norm.format(x="e.embedding")} = 0.0
+                          OR {norm.format(x="q.embedding")} = 0.0 THEN 0.0
+                     ELSE {dot.format(a="e.embedding", b="q.embedding")}
+                          / ({norm.format(x="e.embedding")}
+                             * {norm.format(x="q.embedding")}) END, 6) AS score
+        FROM embeddings e
+        JOIN assigned a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.cid = p.cid, q
         ORDER BY score DESC, e.vec_id ASC LIMIT 10
     """
 

@@ -117,3 +117,69 @@ def ann_lsh_topk(
         .limit(top_k)
         .select(F.col(id_col), F.round("score", 6).alias("score"))
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: List[float],
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroid_step: int = 50,
+    n_probe: int = 3,
+) -> DataFrame:
+    """IVF-flat ANN with deterministically sampled centroids: rows whose
+    ``id % centroid_step == 0`` are the coarse quantizer (a k-means-free
+    stand-in with reproducible training — the centroid SET is a function
+    of the table alone, so an external oracle can recompute the whole
+    index).  Every vector is assigned to its nearest centroid by cosine
+    (ties -> lower centroid id); the query probes its ``n_probe`` nearest
+    centroids and exact-reranks only their inverted lists.
+
+    Scale shape: the assignment is a write-time partition/cluster key at
+    100 TB (vectors are stored bucketed by centroid; a query reads
+    n_probe/K of the data).  Here assignment is one numpy matvec per
+    Arrow batch against the broadcast centroid matrix; candidates are a
+    codegen'd `isin` filter; rerank is the same broadcast-query matvec
+    used by brute force; TakeOrderedAndProject does the distributed
+    top-k.
+    """
+    cents = (
+        embeddings.filter(F.col(id_col) % centroid_step == 0)
+        .select(F.col(id_col).alias("cid"), F.col(emb_col).alias("cemb"))
+        .collect()
+    )
+    cids = np.array([r["cid"] for r in cents])
+    cmat = np.stack([np.asarray(r["cemb"], dtype=np.float64) for r in cents])
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    cnorm[cnorm == 0.0] = 1.0
+    cunit = cmat / cnorm[:, None]
+    order = np.argsort(cids)  # deterministic tie-break: lower centroid id
+    cids, cunit = cids[order], cunit[order]
+
+    qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    qn = np.sqrt((qv * qv).sum()) or 1.0
+    qsims = cunit @ (qv / qn)
+    probe_ids = cids[np.argsort(-qsims, kind="stable")[:n_probe]].tolist()
+
+    @F.pandas_udf(T.LongType())
+    def assign(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for embs in batches:
+            if len(embs) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            mat = np.stack(embs.to_numpy()).astype(np.float64)
+            n = np.sqrt((mat * mat).sum(axis=1))
+            n[n == 0.0] = 1.0
+            sims = (mat / n[:, None]) @ cunit.T
+            yield pd.Series(cids[np.argmax(sims, axis=1)].astype(np.int64))
+
+    score = E.cosine_vs_query_udf([float(v) for v in query_vec])
+    return (
+        embeddings.withColumn("_centroid", assign(F.col(emb_col)))
+        .filter(F.col("_centroid").isin(probe_ids))
+        .withColumn("score", score(F.col(emb_col)))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+        .select(F.col(id_col), F.round("score", 6).alias("score"))
+    )

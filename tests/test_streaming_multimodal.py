@@ -214,3 +214,25 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     out2 = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
     # cross-batch state suppressed doc 4; doc 5 is genuinely new
     assert out2 == {"1", "2", "5"}
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """IVF recall gate: 3-of-K probed inverted lists must recover most
+    of the exact top-10 over the sf0.001 embeddings."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    recalls = []
+    for qid in (0, 7, 42, 123, 300):
+        q = [float(v) for v in vecs[qid]]
+        exact = {r["vec_id"] for r in similarity.brute_force_topk(emb, q, top_k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in similarity.ivf_topk(
+                emb, q, top_k=10, centroid_step=40, n_probe=3
+            ).collect()
+        }
+        recalls.append(len(exact & approx) / 10.0)
+    avg = sum(recalls) / len(recalls)
+    assert avg >= 0.5, f"IVF recall@10 too low: {recalls}"
