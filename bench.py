@@ -104,9 +104,9 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # ---- KG pipeline throughput (docs/sec), no checkpoint IO ----
-    def run_kg() -> float:
+    def run_kg(n_pages: int = KG_PAGES) -> float:
         t0 = time.perf_counter()
-        pages = corpus.pages_spark_df(spark, KG_PAGES, partitions=max(CPUS, 8))
+        pages = corpus.pages_spark_df(spark, n_pages, partitions=max(CPUS, 8))
         p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
         # chunks feed three downstream stages — persist so extraction +
         # chunking UDFs run once (the checkpointed pipeline gets this
@@ -195,6 +195,14 @@ def main() -> None:
     kg_secs = min(run_kg() for _ in range(REPS))
     timings["kg_pipeline"] = round(kg_secs, 3)
 
+    # headline docs/sec from a 8x larger corpus: at KG_PAGES=3000 the
+    # 2-5 s of per-job scheduling constants dominate and docs/sec
+    # underreports the plan by ~5x (measured 737 vs 5520 docs/s on the
+    # same code) — kg_pipeline (seconds, above) stays at KG_PAGES for
+    # round-over-round comparability
+    big_pages = KG_PAGES * 8
+    big_secs = min(run_kg(big_pages) for _ in range(REPS)) if not only_kg else None
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "bench_total",
@@ -205,6 +213,10 @@ def main() -> None:
         "cpus": CPUS,
         "kg_pages": KG_PAGES,
         "docs_per_sec": round(KG_PAGES / kg_secs, 2),
+        "docs_per_sec_large": (
+            round(big_pages / big_secs, 2) if big_secs else None
+        ),
+        "kg_pages_large": big_pages if big_secs else None,
         "reps": REPS,
         "host_steal_ticks_during_run": _steal() - steal0,
     }
