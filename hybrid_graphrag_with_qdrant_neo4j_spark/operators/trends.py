@@ -28,9 +28,21 @@ def daily_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def velocity(events: DataFrame) -> DataFrame:
+def per_user_first_day(events: DataFrame) -> DataFrame:
+    """Shared base: per (event_type, user) first-seen day.  Adopter
+    counts, influence averages and viral-coefficient cohorts are all
+    projections of this ONE aggregate — composites pass it down so the
+    physical plan scans/shuffles events once for the whole family
+    (trend_impact measured 22 parquet scans before the sharing, 2
+    logical bases after)."""
+    return events.groupBy("event_type", "user_id").agg(
+        F.min(_day()).alias("first_day")
+    )
+
+
+def velocity(events: DataFrame, daily: DataFrame | None = None) -> DataFrame:
     """A6: cnt - lag(cnt) per event_type over days (trend_detector.py:185-221)."""
-    d = daily_counts(events)
+    d = daily if daily is not None else daily_counts(events)
     w = Window.partitionBy("event_type").orderBy("day")
     return d.withColumn("prev_cnt", F.lag("cnt").over(w)).withColumn(
         "velocity", F.col("cnt") - F.coalesce(F.col("prev_cnt"), F.lit(0))
@@ -57,12 +69,12 @@ def moving_average(events: DataFrame, periods: int = 3) -> DataFrame:
     return d.withColumn("moving_avg", F.round(F.avg("cnt").over(w), 6))
 
 
-def viral_coefficient(events: DataFrame) -> DataFrame:
+def viral_coefficient(
+    events: DataFrame, per_user: DataFrame | None = None
+) -> DataFrame:
     """A9: new_adopters / existing_prev with zero-guard
     (trend_predictor.py:144-160).  first-seen day per user via min(day)."""
-    first_seen = events.groupBy("event_type", "user_id").agg(
-        F.min(_day()).alias("first_day")
-    )
+    first_seen = per_user if per_user is not None else per_user_first_day(events)
     new_per_day = first_seen.groupBy("event_type", F.col("first_day").alias("day")).agg(
         F.count("*").alias("new_adopters")
     )
@@ -166,11 +178,11 @@ def competitor_gap(events: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def latest_velocity(events: DataFrame) -> DataFrame:
+def latest_velocity(events: DataFrame, daily: DataFrame | None = None) -> DataFrame:
     """The scalar 'velocity' the detector passes around (trend_detector.py
     evaluates rules on the current velocity, not the average): the most
     recent day's count delta per event_type."""
-    v = velocity(events)
+    v = velocity(events, daily)
     w = Window.partitionBy("event_type").orderBy(F.desc("day"))
     return (
         v.withColumn("_rn", F.row_number().over(w))
@@ -179,19 +191,20 @@ def latest_velocity(events: DataFrame) -> DataFrame:
     )
 
 
-def _type_totals(events: DataFrame) -> DataFrame:
-    return daily_counts(events).groupBy("event_type").agg(
+def _type_totals(events: DataFrame, daily: DataFrame | None = None) -> DataFrame:
+    d = daily if daily is not None else daily_counts(events)
+    return d.groupBy("event_type").agg(
         F.sum("cnt").alias("total"), F.count("*").alias("n_days")
     )
 
 
-def lifecycle_stages(events: DataFrame) -> DataFrame:
+def lifecycle_stages(events: DataFrame, daily: DataFrame | None = None) -> DataFrame:
     """F15: the reference's 5-stage lifecycle rule table, ported
     threshold-for-threshold (trend_detector.py:336-363):
     velocity>1 & occ<50 -> emerging; velocity>0.5 & occ>=50 -> peaking;
     |velocity|<=0.5 & occ>20 -> stable; velocity<-0.5 -> declining;
     else unknown.  Rule order preserved (elif cascade = when chain)."""
-    s = _type_totals(events).join(latest_velocity(events), "event_type")
+    s = _type_totals(events, daily).join(latest_velocity(events, daily), "event_type")
     v, total = F.col("latest_velocity"), F.col("total")
     return s.select(
         "event_type",
@@ -235,12 +248,12 @@ def confidence_scores(events: DataFrame) -> DataFrame:
     )
 
 
-def time_series_prediction(events: DataFrame) -> DataFrame:
+def time_series_prediction(events: DataFrame, daily: DataFrame | None = None) -> DataFrame:
     """Trend-predictor time-series analysis (trend_predictor.py:40-59):
     predicted next-period frequency = mean of the last <=3 day-counts;
     confidence 0.5 when >3 observed days else 0.2; <2 days ->
     insufficient_data with prediction 0."""
-    d = daily_counts(events)
+    d = daily if daily is not None else daily_counts(events)
     w = Window.partitionBy("event_type").orderBy(F.desc("day"))
     recent = (
         d.withColumn("_rn", F.row_number().over(w))
@@ -251,7 +264,7 @@ def time_series_prediction(events: DataFrame) -> DataFrame:
             F.count("*").alias("_n_recent"),
         )
     )
-    s = _type_totals(events).join(recent, "event_type")
+    s = _type_totals(events, d).join(recent, "event_type")
     few = F.col("n_days") < 2
     return s.select(
         "event_type",
@@ -280,14 +293,18 @@ def influence_col(user_col: F.Column) -> F.Column:
     return c
 
 
-def influence_weighted_prediction(events: DataFrame) -> DataFrame:
+def influence_weighted_prediction(
+    events: DataFrame,
+    daily: DataFrame | None = None,
+    per_user: DataFrame | None = None,
+) -> DataFrame:
     """A10 + trend_predictor.py:86-121: mean creator influence over the
     trend's adopters, then prediction x (1 + (avg-0.5)*0.2) and
     confidence x (1 + (avg-0.5)*0.1) clamped to [0,1]."""
-    pred = time_series_prediction(events)
+    pred = time_series_prediction(events, daily)
+    pu = per_user if per_user is not None else per_user_first_day(events)
     infl = (
-        events.select("event_type", "user_id")
-        .distinct()
+        pu.select("event_type", "user_id")
         .groupBy("event_type")
         .agg(F.round(F.avg(influence_col(F.col("user_id"))), 6).alias("avg_influence"))
     )
@@ -312,11 +329,13 @@ def influence_weighted_prediction(events: DataFrame) -> DataFrame:
     )
 
 
-def latest_viral_coefficient(events: DataFrame) -> DataFrame:
+def latest_viral_coefficient(
+    events: DataFrame, per_user: DataFrame | None = None
+) -> DataFrame:
     """Latest-day K-factor per event_type with the reference's zero-base
     rule (trend_predictor.py:152-157): existing_prev==0 -> K = new
     adopters if any, else 0."""
-    cum = viral_coefficient(events)
+    cum = viral_coefficient(events, per_user)
     w = Window.partitionBy("event_type").orderBy(F.desc("day"))
     latest = cum.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
     k = F.when(
@@ -333,10 +352,18 @@ def early_warnings(events: DataFrame) -> DataFrame:
     r1 velocity>2 & predicted>5 -> medium; r2 K>1 -> high if already
     medium else medium; r3 velocity>3 & K>1.5 & predicted>10 -> critical;
     no rule fired -> no warning row (the reference returns None)."""
+    # persist the two tiny shared bases: column pruning otherwise
+    # specializes each consumer's copy of the subtree (different
+    # ReadSchema -> no exchange reuse) and the events table is scanned
+    # once per consumer.  Both aggregates are O(types x days) and
+    # O(types x users) — small at any corpus scale.  Spark's cache is
+    # keyed by logical plan, so repeated calls share one entry.
+    daily = daily_counts(events).persist()
+    per_user = per_user_first_day(events).persist()
     s = (
-        latest_velocity(events)
-        .join(influence_weighted_prediction(events), "event_type")
-        .join(latest_viral_coefficient(events), "event_type")
+        latest_velocity(events, daily)
+        .join(influence_weighted_prediction(events, daily, per_user), "event_type")
+        .join(latest_viral_coefficient(events, per_user), "event_type")
     )
     v, k, p = F.col("latest_velocity"), F.col("viral_k"), F.col("predicted_adj")
     r1 = (v > 2.0) & (p > 5.0)
@@ -370,18 +397,20 @@ def trend_impact(events: DataFrame) -> DataFrame:
     """Marketing impact formulas (marketing_insights.py:18-81), weights
     and clamps verbatim; trend-type engagement/longevity factor tables
     keyed on event_type (the reference keys on TrendType)."""
+    daily = daily_counts(events).persist()       # see early_warnings note
+    per_user = per_user_first_day(events).persist()
     s = (
-        _type_totals(events)
-        .join(latest_velocity(events), "event_type")
+        _type_totals(events, daily)
+        .join(latest_velocity(events, daily), "event_type")
         .join(
-            events.groupBy("event_type").agg(
-                F.countDistinct("user_id").alias("adopters")
-            ),
+            # countDistinct(user) == count of per-user groups: one more
+            # projection of the shared per_user base, not a new scan
+            per_user.groupBy("event_type").agg(F.count("*").alias("adopters")),
             "event_type",
         )
-        .join(influence_weighted_prediction(events), "event_type")
-        .join(latest_viral_coefficient(events), "event_type")
-        .join(lifecycle_stages(events).select("event_type", "stage"), "event_type")
+        .join(influence_weighted_prediction(events, daily, per_user), "event_type")
+        .join(latest_viral_coefficient(events, per_user), "event_type")
+        .join(lifecycle_stages(events, daily).select("event_type", "stage"), "event_type")
     )
     et = F.col("event_type")
     occ = _clamp01(F.col("total") / 200.0)
