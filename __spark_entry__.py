@@ -778,6 +778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["simhash_fingerprints"] = simhash_fingerprints
 
+    def curated_corpus(spark, sf):
+        return TQ.curate_corpus(_t(spark, sf, "documents"), quality_min=0.5)
+
+    q["curated_corpus"] = curated_corpus
+
     def ann_lsh_topk(spark, sf):
         emb = _t(spark, sf, "embeddings")
         qvec = [
@@ -2170,6 +2175,41 @@ def oracle_sql() -> dict[str, str]:
                doc_id || '_chunk' || CAST(chunk_idx AS VARCHAR) AS chunk_id,
                CAST(chunk_idx AS INT) AS chunk_index, cur_text AS text
         FROM ranked WHERE rn = 1
+    """
+
+    # End-to-end curation pass: lang gate -> quality gate -> exact
+    # content dedup (min doc_id per md5 wins) -> keep-list with scores.
+    sqls["curated_corpus"] = f"""
+        WITH base AS (
+          SELECT doc_id, text,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 {_sw_count} AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) AS n_chars_a,
+                 (SELECT COUNT(*) FROM unnest({_SQL_TOKENS}) AS u(tok)
+                  WHERE tok IN ({en_markers})) AS n_m
+          FROM documents
+        ), r AS (
+          SELECT doc_id, text,
+                 ROUND(0.4 * least(CAST(n_toks AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * least((CASE WHEN n_toks = 0 THEN 0.0
+                         ELSE CAST(n_stop AS DOUBLE) / n_toks END) * 3.0, 1.0)
+                     + 0.3 * greatest(1.0 - (CASE WHEN n_chars_a = 0 THEN 0.0
+                         ELSE CAST(n_punct AS DOUBLE) / n_chars_a END) * 5.0,
+                         0.0), 6) AS quality,
+                 CASE WHEN (CASE WHEN n_toks = 0 THEN 0.0
+                            ELSE CAST(n_m AS DOUBLE) / n_toks END) >= 0.08
+                      THEN 'en' ELSE 'other' END AS pred_lang
+          FROM base
+        ), kept AS (
+          SELECT doc_id, text, quality FROM r
+          WHERE pred_lang = 'en' AND quality >= 0.5
+        ), d AS (
+          SELECT doc_id, quality,
+                 MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+          FROM kept
+        )
+        SELECT doc_id, quality FROM d WHERE doc_id = keep_id
     """
 
     return sqls

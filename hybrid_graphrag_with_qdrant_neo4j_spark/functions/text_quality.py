@@ -121,3 +121,36 @@ def profile_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
         predict_lang(c).alias("pred_lang"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+def curate_corpus(
+    docs: DataFrame, quality_min: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """The end-to-end curation pass a training-data pipeline runs over a
+    raw crawl: language gate -> quality gate -> exact content dedup ->
+    surviving keep-list with scores.
+
+    One scan, one window over md5(text) (shuffle keyed on the 128-bit
+    hash, never the text bytes); all gates are codegen'd column
+    expressions, so the pass is a single narrow pipeline + one exchange
+    at any corpus size.  Near-dup removal composes downstream via
+    operators.dedup.dedup_corpus_from_signatures on the survivors.
+    """
+    from pyspark.sql import Window
+
+    c = F.col(text_col)
+    scored = docs.select(
+        "doc_id",
+        F.col(text_col),
+        quality_score(c).alias("quality"),
+        predict_lang(c).alias("pred_lang"),
+    )
+    kept = scored.filter(
+        (F.col("pred_lang") == "en") & (F.col("quality") >= quality_min)
+    )
+    w = Window.partitionBy(F.md5(F.col(text_col)))
+    return (
+        kept.withColumn("_keep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("_keep"))
+        .select("doc_id", "quality")
+    )

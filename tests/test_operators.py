@@ -259,3 +259,44 @@ def test_pair_generators_never_cartesian(spark):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} plans an unblocked nested-loop join"
         )
+
+
+def test_linking_paths_agree_above_adaptive_threshold(spark):
+    """The scale-adaptive claim, tested AT the crossover: distributed
+    LSH + hash-min CC and driver-local BLAS + union-find must produce
+    the IDENTICAL canonical mapping on 12k entities (> the 10k adaptive
+    threshold), including planted alias chains."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import components
+
+    import hashlib
+
+    def h(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    # md5-hex word pairs: random-pair cosine under the n-gram hash
+    # embedder measured max 0.16 (no accidental merges at 0.96)
+    names = [f"{h(f'{i}:a')} {h(f'{i}:b')}" for i in range(11_500)]
+    # 100 alias chains (base, base+x, base+xy): planted-pair cosine
+    # measured >= 0.974 on 66-char names; chain exercises transitivity
+    for i in range(100):
+        base = f"{h(f'p{i}:a')} {h(f'p{i}:b')}"
+        names += [base, base + "x", base + "xy"]
+    rows = [(n, tp.embed_text_py(n)) for n in names]
+    ents = spark.createDataFrame(rows, "name string, embedding array<float>")
+
+    mapping_rows, _ = linking.local_entity_resolution(ents)
+    local = dict(mapping_rows)
+
+    pairs = linking.similarity_pairs(ents)
+    all_names = ents.select("name")
+    dist = {
+        r["name"]: r["canonical_id"]
+        for r in components.canonical_mapping(all_names, pairs).collect()
+    }
+    assert len(local) == len(dist) == len(set(names))
+    diff = {k for k in local if local[k] != dist[k]}
+    assert not diff, f"{len(diff)} disagreements, e.g. {sorted(diff)[:3]}"
+    # sanity: at least some planted groups actually merged
+    merged = sum(1 for k, v in local.items() if k != v)
+    assert merged >= 100, f"only {merged} merges — fixture too weak"
