@@ -129,7 +129,11 @@ def entry(spark: SparkSession) -> DataFrame:
     p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
     chunks = chunker.chunk_documents(p, max_tokens=80)
     en = chunks.filter(F.col("lang") == "en")
-    t = triples_op.triples_raw(en)
+    # materialize triples before the eager CC section (same reasoning as
+    # bench.run_kg: localCheckpoint otherwise evaluates the UDF chain
+    # through both pair-join legs concurrently)
+    t = triples_op.triples_raw(en).persist()
+    t.count()
     ents = linking.entity_nodes(t)
     pairs = linking.similarity_pairs_bruteforce(ents)
     names = t.select(F.col("subj").alias("name")).unionByName(
