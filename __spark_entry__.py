@@ -847,6 +847,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_frame_features"] = multimodal_frame_features
 
+    def multimodal_resize(spark, sf):
+        frames = _mm_frames(spark, 4, 40, "mm_frames_rs")
+        out = multimodal.resize_frames(frames, width=96, height=64)
+        # cast the binary payload to string for the driver's canonical
+        # sort (the stub emits ascii hex, so the cast is lossless)
+        return out.select(
+            "asset_id",
+            "frame_number",
+            "width",
+            "height",
+            F.col("payload_resized").cast("string").alias("payload_resized"),
+        )
+
+    q["multimodal_resize"] = multimodal_resize
+
     def visual_trends(spark, sf):
         assets = multimodal.synthetic_visual_assets(spark, n=300)
         path = os.path.join(_KG_DIR, "mm_assets.parquet")
@@ -1987,6 +2002,14 @@ def oracle_sql() -> dict[str, str]:
                  i -> CAST((h >> CAST(i % 24 AS UBIGINT)) % 251 AS VARCHAR)),
                  ',') AS feature_k251
         FROM f
+    """
+
+    # resize stub recomputed from the raw payloads: md5(payload || 'WxH')
+    sqls["multimodal_resize"] = f"""
+        SELECT asset_id, frame_number,
+               96 AS width, 64 AS height,
+               md5(payload_str || '96x64') AS payload_resized
+        FROM {_kg_pq("mm_frames_rs")}
     """
 
     sqls["multimodal_segments"] = f"""

@@ -235,3 +235,57 @@ def visual_trends(assets: DataFrame) -> DataFrame:
         )
         .select("tag", "total", "peak_adopters", "avg_velocity", "uses_utensils", "stage")
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.StringType()),
+        T.StructField("frame_number", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("payload_resized", T.BinaryType()),
+    ]
+)
+
+
+def _resize_image_stub(raw: bytes, width: int, height: int) -> bytes:
+    """STUB resize — deterministic fake (no image libs in container).
+    Real impl: cv2.resize / PIL Image.resize.  The fake is a pure
+    function of (payload, target dims) via md5 so the DuckDB oracle can
+    recompute it from the raw payload."""
+    if not raw:
+        raise ValueError("empty image payload")
+    tag = f"{width}x{height}"
+    return hashlib.md5(raw + tag.encode("ascii")).hexdigest().encode("ascii")
+
+
+def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
+    """frames(asset_id, frame_number, payload) -> resized payloads with
+    target dims.  Same mapInPandas shape as extract_frame_features:
+    Arrow batches, decoder/encoder init once per partition, purely
+    row-parallel — no shuffle at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (
+                    asset_id,
+                    int(frame_number),
+                    width,
+                    height,
+                    _resize_image_stub(
+                        bytes(payload) if payload is not None else b"", width, height
+                    ),
+                )
+                for asset_id, frame_number, payload in zip(
+                    pdf["asset_id"], pdf["frame_number"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "frame_number", "width", "height", "payload_resized"],
+            )
+
+    return frames.select("asset_id", "frame_number", "payload").mapInPandas(
+        run, RESIZED_SCHEMA
+    )

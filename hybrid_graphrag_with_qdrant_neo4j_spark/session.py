@@ -35,8 +35,21 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 4096, not 10000: UDFs returning wide arrays (term_chunk_edges
+        # emits ~600 structs/chunk) make a 10k-record Arrow batch tens of
+        # MB; at N concurrent tasks that blows netty's direct-memory pool
+        # (observed OutOfDirectMemoryError at 200k pages x local[24] with
+        # the 1 GiB default)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Arrow IPC buffers live in netty direct memory, whose JVM
+        # default (= -Xmx or 1 GiB cap in some distros) is far too small
+        # for many concurrent Arrow UDF stages — size it explicitly
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:MaxDirectMemorySize="
+            + os.environ.get("SPARK_GRAFT_DIRECT_MEM", "8g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # python workers over unix domain sockets: avoids intermittent
