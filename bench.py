@@ -122,6 +122,14 @@ def main() -> None:
         # serialization + duplicated python-UDF stages measured 67s vs
         # 9s for the same work on this host (see BENCH/BASELINE.md)
         t.count()
+        # path selection counts distinct names WITHOUT the embedding UDF
+        # (pipeline.py does the same — VERDICT r2 #4)
+        n_entities = (
+            t.select(F.col("subj").alias("name"))
+            .unionByName(t.select(F.col("obj").alias("name")))
+            .dropDuplicates(["name"])
+            .count()
+        )
         ents = linking.entity_nodes(t)
 
         profile = os.environ.get("SPARK_GRAFT_KG_PROFILE") == "1"
@@ -143,7 +151,7 @@ def main() -> None:
             lap("extract+chunk")
             t.count()
             lap("triples")
-            prof["n_entities"] = ents.count()
+            prof["n_entities"] = n_entities
             lap("entity_dedup")
         # scale-adaptive link+canonicalize (driver path under 10k
         # entities; LSH + distributed CC above — see operators.linking).
@@ -152,7 +160,7 @@ def main() -> None:
         # plans with no driver-serial section (Amdahl would otherwise
         # cap the measurable speedup at small page counts).
         force_dist = os.environ.get("SPARK_GRAFT_FORCE_DISTRIBUTED") == "1"
-        if not force_dist and ents.count() <= 10_000:
+        if not force_dist and n_entities <= 10_000:
             mapping_rows, _ = linking.local_entity_resolution(ents)
             mapping = spark.createDataFrame(
                 mapping_rows, "name string, canonical_id string"
@@ -163,17 +171,8 @@ def main() -> None:
                 t.select(F.col("obj").alias("name"))
             )
             mapping = components.canonical_mapping(names, pairs)
-        edges = (
-            t.join(F.broadcast(mapping.withColumnRenamed("name", "subj")), "subj")
-            .withColumnRenamed("canonical_id", "subj_id")
-            .join(F.broadcast(mapping.withColumnRenamed("name", "obj")), "obj")
-            .withColumnRenamed("canonical_id", "obj_id")
-            .select("subj_id", "pred", "obj_id", "chunk_id", "url")
-            # MERGE dedup via groupBy.agg — measured ~3x faster than
-            # dropDuplicates on this exact shape (see ngrams.py note)
-            .groupBy("subj_id", "pred", "obj_id", "chunk_id")
-            .agg(F.first("url").alias("url"))
-        )
+        # broadcast gated on n_entities; AQE decides above the gate
+        edges = components.canonical_edges(t, mapping, n_entities)
         if profile:
             # mapping construction was eager (CC localCheckpoints), so
             # the time since the last lap IS link+cc

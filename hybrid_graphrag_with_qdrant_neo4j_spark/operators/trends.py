@@ -13,6 +13,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+# Shared-base cache lifecycle (ADVICE r2): early_warnings / trend_impact
+# persist their two tiny per-events bases (daily_counts, per_user_first_day)
+# so one composite evaluates them once.  Spark's cache is keyed by logical
+# plan, so repeated calls on the SAME events input share one entry — but
+# calls over many DISTINCT inputs would accumulate executor-storage entries.
+# Every persist is therefore registered here; long-lived callers iterating
+# over many event tables call release_caches() between inputs.  Entries are
+# O(types x days) / O(types x users) — eviction is a correctness no-op.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    _PERSISTED.append(df)
+    return df.persist()
+
+
+def release_caches() -> None:
+    """Unpersist every shared base persisted by this module (blocking=False;
+    plan-keyed dedup means double-unpersist of the same plan is harmless)."""
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass
+
 
 def _day(col: str = "ts") -> F.Column:
     # string day key: engine-portable, hash-stable (A5; trend_detector.py:177-183
@@ -357,9 +382,10 @@ def early_warnings(events: DataFrame) -> DataFrame:
     # ReadSchema -> no exchange reuse) and the events table is scanned
     # once per consumer.  Both aggregates are O(types x days) and
     # O(types x users) — small at any corpus scale.  Spark's cache is
-    # keyed by logical plan, so repeated calls share one entry.
-    daily = daily_counts(events).persist()
-    per_user = per_user_first_day(events).persist()
+    # keyed by logical plan, so repeated calls share one entry; see
+    # release_caches() for the lifecycle across distinct inputs.
+    daily = _persist(daily_counts(events))
+    per_user = _persist(per_user_first_day(events))
     s = (
         latest_velocity(events, daily)
         .join(influence_weighted_prediction(events, daily, per_user), "event_type")
@@ -397,8 +423,8 @@ def trend_impact(events: DataFrame) -> DataFrame:
     """Marketing impact formulas (marketing_insights.py:18-81), weights
     and clamps verbatim; trend-type engagement/longevity factor tables
     keyed on event_type (the reference keys on TrendType)."""
-    daily = daily_counts(events).persist()       # see early_warnings note
-    per_user = per_user_first_day(events).persist()
+    daily = _persist(daily_counts(events))       # see early_warnings note
+    per_user = _persist(per_user_first_day(events))
     s = (
         _type_totals(events, daily)
         .join(latest_velocity(events, daily), "event_type")

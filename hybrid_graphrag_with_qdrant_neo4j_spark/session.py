@@ -60,7 +60,39 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
+    # builder-time JVM options only take effect when THIS process launches
+    # the JVM (plain `python bench.py`).  Under spark-submit the driver JVM
+    # already exists, so -XX:MaxDirectMemorySize set above is silently
+    # ignored — the deploy recipe must pass --driver-java-options instead
+    # (see .claude/skills/verify/SKILL.md).  Warn rather than fail: the
+    # 4096 Arrow batch cap still applies and covers small runs.
+    # PYSPARK_GATEWAY_PORT is set when the JVM launched this python
+    # process (spark-submit); an already-active session means the same.
+    jvm_preexisting = (
+        os.environ.get("PYSPARK_GATEWAY_PORT") is not None
+        or SparkSession.getActiveSession() is not None
+    )
     spark = builder.getOrCreate()
+    if jvm_preexisting:
+        # the session conf would show our builder value even though the
+        # live JVM ignored it — ask the JVM for its REAL launch arguments
+        try:
+            jvm_args = list(
+                spark._jvm.java.lang.management.ManagementFactory.getRuntimeMXBean().getInputArguments()
+            )
+        except Exception:
+            jvm_args = []
+        if not any("MaxDirectMemorySize" in a for a in jvm_args):
+            import warnings
+
+            warnings.warn(
+                "driver JVM was launched outside this process without "
+                "-XX:MaxDirectMemorySize; the builder-time setting in "
+                "session.get_spark() does not apply.  Pass "
+                "--driver-java-options '-XX:MaxDirectMemorySize=8g' to "
+                "spark-submit for 200k+ page runs.",
+                stacklevel=2,
+            )
     spark.sparkContext.setLogLevel("WARN")
     return spark
 

@@ -86,9 +86,14 @@ def streaming_first_seen(
             return
         first_id = None
         for pdf in pdf_iter:
-            if len(pdf) and first_id is None:
-                # deterministic winner: min id within the batch
-                first_id = str(pdf[id_col].astype(str).min())
+            if len(pdf):
+                # deterministic winner: lexicographic-min string id over
+                # the WHOLE micro-batch — accumulated across every Arrow
+                # chunk of the group, so the result is independent of how
+                # the engine chunks the batch (ADVICE r2: first-chunk-only
+                # was chunk-order-dependent)
+                chunk_min = str(pdf[id_col].astype(str).min())
+                first_id = chunk_min if first_id is None else min(first_id, chunk_min)
         if first_id is None:
             return
         state.update((1,))

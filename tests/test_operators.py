@@ -300,3 +300,53 @@ def test_linking_paths_agree_above_adaptive_threshold(spark):
     # sanity: at least some planted groups actually merged
     merged = sum(1 for k, v in local.items() if k != v)
     assert merged >= 100, f"only {merged} merges — fixture too weak"
+
+
+def _physical_plan(df):
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df.queryExecution() if hasattr(df, "queryExecution") else df._jdf.queryExecution(),
+        "simple",
+    )
+
+
+def test_canonical_edges_broadcast_gate(spark):
+    """Scale gate (VERDICT r2 scale-killer #1): the canonical-mapping
+    rewrite broadcasts ONLY when the entity count is known-small.  At
+    10^9 entities a forced broadcast of the per-entity mapping is a
+    multi-GB executor OOM; above the gate the join strategy must be left
+    to AQE (no broadcast hint in the plan when the runtime estimate is
+    large)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import components
+
+    triples = spark.createDataFrame(
+        [("c1", "u1", "a", "FOUNDED", "b"), ("c2", "u2", "b", "SUED", "a")],
+        "chunk_id string, url string, subj string, pred string, obj string",
+    )
+    mapping = spark.createDataFrame(
+        [("a", "a"), ("b", "a")], "name string, canonical_id string"
+    )
+
+    # small / known entity count -> hint applied -> broadcast join
+    small = components.canonical_edges(triples, mapping, n_entities=2)
+    assert "BroadcastHashJoin" in _physical_plan(small)
+
+    # claimed-large entity count -> NO hint; with the auto-broadcast
+    # estimate disabled the planner must fall back to a shuffle join,
+    # proving the hint is genuinely absent (a forced broadcast would
+    # survive the threshold change)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        large = components.canonical_edges(
+            triples, mapping, n_entities=components.BROADCAST_MAPPING_LIMIT + 1
+        )
+        plan = _physical_plan(large)
+        assert "BroadcastHashJoin" not in plan, plan
+        # n_entities=None (unknown) must also defer to the planner
+        unknown = components.canonical_edges(triples, mapping, n_entities=None)
+        assert "BroadcastHashJoin" not in _physical_plan(unknown)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    # semantics unchanged by the gate: same rows either way
+    assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
