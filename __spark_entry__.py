@@ -95,6 +95,11 @@ def _kg_dir(spark: SparkSession) -> str:
     w(ngrams.term_chunk_edges(en), "term_edges")
     w(triples_op.mentions(t), "mentions")
     w(entry(spark), "edges")  # canonical edges over the same 120-page corpus
+    # entity name -> embedding, so the kg_edges oracle recomputes the
+    # linking pairs (pairwise cosine >= 0.96) from the same vectors the
+    # engine linked with (the crc32 hash embedder itself is parity-gated
+    # in pytest, not SQL-expressible)
+    w(linking.entity_nodes(t), "entity_embs")
     w(emb, "chunk_embeddings")
     w(qdf, "query_embedding")
     t.unpersist()
@@ -706,9 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["topk_per_source"] = topk_per_source
 
-    # ---------------- rows-only (non-SQL-expressible: UDF pipelines) ----
+    # ---------------- KG construction pipeline ----------------
 
     def kg_edges_synthetic(spark, sf):
+        """Full KG construction output (canonical edges).  The DuckDB twin
+        rebuilds the whole downstream-of-embedding pipeline from the
+        materialized chunks: regex triple extraction (RE2 twins of
+        textproc._REL_PATTERNS), pairwise-cosine linking over the
+        materialized entity embeddings, recursive-CTE connected
+        components, canonical rewrite + MERGE dedup."""
+        _kg_dir(spark)  # materializes chunks + entity_embs for the oracle
         return entry(spark)
 
     q["kg_edges_synthetic"] = kg_edges_synthetic
@@ -997,6 +1009,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return v.select("chunk_id", F.round("score", 6).alias("score"))
 
     q["vector_search_corpus"] = vector_search_corpus
+
+    # ---- batch retrieval (VERDICT r2 next-round #4: N queries = 1 job) --
+
+    _BATCH_QUERIES = [
+        ("q0", _KG_QUERY),
+        ("q1", "Acme Corporation patent claims"),
+        ("q2", "Who acquired Initech Labs in Berlin?"),
+    ]
+
+    def vector_search_many_corpus(spark, sf):
+        """3-query batch over the KG chunk embeddings in one job; the
+        materialized query embeddings let the oracle recompute every
+        (query, chunk) cosine and the per-query top-k."""
+        _kg_dir(spark)
+        qdf = spark.createDataFrame(
+            [
+                (qid, tp.embed_text_py("query: " + qtext))
+                for qid, qtext in _BATCH_QUERIES
+            ],
+            "query_id string, embedding array<float>",
+        )
+        qdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(_KG_DIR, "query_embs.parquet")
+        )
+        out = retrieval.vector_search_many(
+            _kg(spark, "chunk_embeddings"), _BATCH_QUERIES, top_k=5
+        )
+        return out.select("query_id", "chunk_id", F.round("score", 6).alias("score"))
+
+    q["vector_search_many_corpus"] = vector_search_many_corpus
+
+    def term_search_many_docs(spark, sf):
+        """Batch term search over the documents table: 3 queries' term
+        lists joined + aggregated + per-query top-k in one plan."""
+        docs = _t(spark, sf, "documents")
+        qterms = spark.createDataFrame(
+            [
+                ("q0", "spark", 1.0), ("q0", "join", 1.0), ("q0", "window", 1.0),
+                ("q1", "stream", 1.0), ("q1", "window", 1.0),
+                ("q2", "spark", 1.0), ("q2", "stream", 1.0), ("q2", "join", 1.0),
+            ],
+            "query_id string, term string, score double",
+        )
+        toks = docs.select(
+            F.col("doc_id").alias("chunk_id"),
+            F.explode(F.array_distinct(TQ.tokens(F.col("text")))).alias("term"),
+        )
+        out = retrieval.term_search_many(toks, qterms, top_k=10)
+        return out.select("query_id", F.col("chunk_id").alias("doc_id"), "score")
+
+    q["term_search_many_docs"] = term_search_many_docs
 
     return q
 
@@ -2296,6 +2359,130 @@ def oracle_sql() -> dict[str, str]:
           FROM kept
         )
         SELECT doc_id, quality FROM d WHERE doc_id = keep_id
+    """
+
+    # ---- batch retrieval twins ----
+    _qdot = dot.format(a="e.embedding", b="qe.embedding")
+    _qna = norm.format(x="e.embedding")
+    _qnb = norm.format(x="qe.embedding")
+    sqls["vector_search_many_corpus"] = f"""
+        WITH qe AS (SELECT query_id, embedding FROM {_kg_pq("query_embs")}),
+        e AS (SELECT chunk_id, embedding FROM {_kg_pq("chunk_embeddings")}),
+        s AS (
+          SELECT qe.query_id, e.chunk_id,
+                 CASE WHEN {_qna} = 0.0 OR {_qnb} = 0.0 THEN 0.0
+                      ELSE {_qdot} / ({_qna} * {_qnb}) END AS raw
+          FROM e CROSS JOIN qe
+        ),
+        r AS (
+          SELECT query_id, chunk_id, raw,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY raw DESC, chunk_id ASC) AS rn
+          FROM s
+        )
+        SELECT query_id, chunk_id, ROUND(raw, 6) AS score
+        FROM r WHERE rn <= 5
+    """
+
+    sqls["term_search_many_docs"] = f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct({_SQL_TOKENS})) AS term FROM documents
+        ),
+        qt(query_id, term, score) AS (VALUES
+          ('q0', 'spark', 1.0), ('q0', 'join', 1.0), ('q0', 'window', 1.0),
+          ('q1', 'stream', 1.0), ('q1', 'window', 1.0),
+          ('q2', 'spark', 1.0), ('q2', 'stream', 1.0), ('q2', 'join', 1.0)
+        ),
+        agg AS (
+          SELECT query_id, doc_id, SUM(score) AS score
+          FROM toks JOIN qt USING (term)
+          GROUP BY query_id, doc_id
+        ),
+        r AS (
+          SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, doc_id ASC) AS rn
+          FROM agg
+        )
+        SELECT query_id, doc_id, score FROM r WHERE rn <= 10
+    """
+
+    # ---- kg_edges_synthetic: the WHOLE construction pipeline rebuilt in
+    # SQL from the materialized chunks (VERDICT r2 next-round #3 — the
+    # last rows-only entry).  Triple extraction = RE2 twins of
+    # textproc._REL_PATTERNS derived from the live pattern objects (no
+    # drift); whole-chunk extraction == per-sentence extraction because
+    # no pattern component can match sentence-final punctuation, so a
+    # match never crosses a sentence boundary.  Linking = pairwise cosine
+    # >= 0.96 over the materialized entity embeddings (the hash embedder
+    # is pytest-parity-gated; it is the ONE stage not recomputed here).
+    # Canonicalization = recursive-CTE min-label components; rewrite +
+    # MERGE dedup mirror components.canonical_edges.
+    import hybrid_graphrag_with_qdrant_neo4j_spark.textproc as _tp
+
+    _np_py = f"({_tp._NP})"
+    _pat_rows = []
+    for _pat, _rel in _tp._REL_PATTERNS:
+        _mid = _pat.pattern[len(_np_py):-len(_np_py)]
+        _rx = ("(" + _tp._NP + ")" + _mid + "(" + _tp._NP + ")").replace("'", "''")
+        _pat_rows.append(f"('{_tp.sanitize_relation(_rel)}', '{_rx}')")
+    _pats_values = ",\n          ".join(_pat_rows)
+    _edot = dot.format(a="a.embedding", b="b.embedding")
+    _ena = norm.format(x="a.embedding")
+    _enb = norm.format(x="b.embedding")
+    sqls["kg_edges_synthetic"] = f"""
+        WITH RECURSIVE
+        pat(pred, rx) AS (VALUES
+          {_pats_values}
+        ),
+        c AS (
+          SELECT chunk_id, url, text FROM {_kg_pq("chunks")} WHERE lang = 'en'
+        ),
+        m AS (
+          SELECT c.chunk_id, c.url, p.pred,
+                 regexp_extract_all(c.text, p.rx, 1) AS subs,
+                 regexp_extract_all(c.text, p.rx, 2) AS objs
+          FROM c CROSS JOIN pat p
+        ),
+        raw AS (
+          SELECT chunk_id, url, pred,
+                 unnest(list_transform(range(1, len(subs)+1),
+                        i -> {{'s': subs[i], 'o': objs[i]}})) AS so
+          FROM m
+        ),
+        t AS (
+          SELECT chunk_id, url, pred, lower(so.s) AS subj, lower(so.o) AS obj
+          FROM raw WHERE so.s <> '' AND so.o <> ''
+        ),
+        names AS (
+          SELECT DISTINCT subj AS name FROM t
+          UNION
+          SELECT DISTINCT obj AS name FROM t
+        ),
+        emb AS (SELECT name, embedding FROM {_kg_pq("entity_embs")}),
+        pairs AS (
+          SELECT a.name AS pa, b.name AS pb
+          FROM emb a JOIN emb b ON a.name < b.name
+          WHERE CASE WHEN {_ena} = 0.0 OR {_enb} = 0.0 THEN 0.0
+                     ELSE {_edot} / ({_ena} * {_enb}) END >= 0.96
+        ),
+        e AS (
+          SELECT pa AS a, pb AS b FROM pairs
+          UNION
+          SELECT pb AS a, pa AS b FROM pairs
+        ),
+        reach(n, lbl) AS (
+          SELECT name, name FROM names
+          UNION
+          SELECT e.b, reach.lbl FROM reach JOIN e ON reach.n = e.a
+        ),
+        comp AS (SELECT n AS name, MIN(lbl) AS canonical_id FROM reach GROUP BY n)
+        SELECT cs.canonical_id AS subj_id, t.pred, co.canonical_id AS obj_id,
+               t.chunk_id, MIN(t.url) AS url
+        FROM t
+        JOIN comp cs ON t.subj = cs.name
+        JOIN comp co ON t.obj = co.name
+        GROUP BY cs.canonical_id, t.pred, co.canonical_id, t.chunk_id
     """
 
     return sqls

@@ -62,6 +62,111 @@ def term_search(
     )
 
 
+def term_search_many(
+    term_edges: DataFrame, query_terms: DataFrame, top_k: int = 10
+) -> DataFrame:
+    """Batch twin of :func:`term_search` (VERDICT r2 next-round #4): N
+    queries as ONE job instead of N.  ``query_terms(query_id, term,
+    score)`` is the whole query batch; the join fans each edge out only
+    to the queries whose terms it matches, the aggregate is map-side
+    partial, and the per-query top-k is a rank window over the (small,
+    already-aggregated) per-query score lists.
+
+    Returns (query_id, chunk_id, score) with at most ``top_k`` rows per
+    query.  Serving 1000 queries shuffles edge-match rows once — not
+    1000 scans."""
+    joined = term_edges.join(F.broadcast(query_terms), "term")
+    agg = joined.groupBy("query_id", "chunk_id").agg(F.sum("score").alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
+def queries_to_terms(spark, queries) -> DataFrame:
+    """[(query_id, query_text)] -> query_terms(query_id, term, score) for
+    :func:`term_search_many` (uniform score 1.0, retrieval.py:206-214)."""
+    from .. import textproc as tp
+
+    rows = []
+    for qid, qtext in queries:
+        uni, bi, tri = tp.extract_ngrams(qtext)
+        rows.extend((qid, t, 1.0) for t in dict.fromkeys(uni + bi + tri))
+    return spark.createDataFrame(
+        rows or [("", "", 0.0)], "query_id string, term string, score double"
+    )
+
+
+def vector_search_many(
+    chunk_embeddings: DataFrame,
+    queries,
+    top_k: int = 10,
+    id_col: str = "chunk_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Batch twin of :func:`vector_search`: score EVERY query against the
+    corpus in one scan.  ``queries`` is [(query_id, query_text)] or a
+    2-column DataFrame of the same — the query batch is the small side
+    by construction (it rides into the closure like a broadcast).
+
+    Shape: one mapInPandas pass computes the (batch x Q) score matrix by
+    numpy matmul and emits only each Arrow batch's LOCAL top-k per query
+    — so the shuffle into the global per-query rank window carries at
+    most batches x Q x k rows, never rows x Q.  At 10^12 scale the same
+    plan runs behind the write-time ANN index's partition pruning.
+
+    Returns (query_id, <id_col>, score), at most top_k rows per query.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .. import textproc as tp
+
+    if isinstance(queries, DataFrame):
+        queries = [(r[0], r[1]) for r in queries.collect()]
+    qids = [str(qid) for qid, _ in queries]
+    Q = np.stack(
+        [tp.embed_text_py("query: " + qtext) for _, qtext in queries]
+    ).astype(np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+
+    out_schema = f"query_id string, {id_col} string, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            num = M @ Q.T  # (batch, Q)
+            en = np.sqrt((M * M).sum(axis=1))
+            denom = en[:, None] * qn[None, :]
+            S = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+            k = min(top_k, len(pdf))
+            ids = pdf[id_col].astype(str).to_numpy()
+            parts = []
+            for j, qid in enumerate(qids):
+                top = np.argpartition(-S[:, j], k - 1)[:k]
+                parts.append(
+                    pd.DataFrame(
+                        {"query_id": qid, id_col: ids[top], "score": S[top, j]}
+                    )
+                )
+            yield pd.concat(parts, ignore_index=True)
+
+    scored = chunk_embeddings.select(
+        F.col(id_col).cast("string").alias(id_col), emb_col
+    ).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
 def query_to_terms(spark, query: str) -> DataFrame:
     """Unigrams of the query with uniform score 1.0 (the reference scores
     each matched term equally, retrieval.py:206-214)."""

@@ -350,3 +350,46 @@ def test_canonical_edges_broadcast_gate(spark):
 
     # semantics unchanged by the gate: same rows either way
     assert sorted(map(tuple, small.collect())) == sorted(map(tuple, large.collect()))
+
+
+def test_batch_retrieval_equals_per_query(spark):
+    """vector_search_many / term_search_many must return exactly what N
+    independent single-query calls return — one job, same semantics
+    (VERDICT r2 next-round #4)."""
+    import __spark_entry__ as em
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import retrieval
+
+    kg = em._kg_dir(spark)
+    emb = spark.read.parquet(f"{kg}/chunk_embeddings.parquet")
+    queries = [
+        ("q0", "Who founded Globex Systems?"),
+        ("q1", "Acme Corporation patent claims"),
+        ("q2", "rain delayed the meeting"),
+    ]
+    many = retrieval.vector_search_many(emb, queries, top_k=5)
+    got = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9))
+        for r in many.collect()
+    }
+    want = set()
+    for qid, qtext in queries:
+        for r in retrieval.vector_search(emb, qtext, top_k=5).collect():
+            want.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert got == want
+
+    edges = spark.read.parquet(f"{kg}/term_edges.parquet")
+    qterms = retrieval.queries_to_terms(spark, queries)
+    tmany = retrieval.term_search_many(edges, qterms, top_k=5)
+    tgot = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in tmany.collect()
+    }
+    twant = set()
+    for qid, qtext in queries:
+        single = retrieval.term_search(
+            edges, retrieval.query_to_terms(spark, qtext), top_k=5
+        )
+        for r in single.collect():
+            twant.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert tgot == twant
+    # at least one query actually matched something
+    assert len(tgot) > 0 and len(got) == 15
