@@ -867,6 +867,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_indexed_topk"] = ann_lsh_indexed_topk
 
+    def knn_filtered_topk(spark, sf):
+        """Payload-filtered vector search (reference qdrant filter param,
+        qdrant_connection.py:154-180): predicate on a stored column
+        applied BELOW the scoring UDF — pushed to the parquet scan
+        (plan-gated in tests), filter-then-rank semantics."""
+        emb = _t(spark, sf, "embeddings")
+        qvec = [
+            float(v)
+            for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        ]
+        return similarity.brute_force_topk(
+            emb, qvec, top_k=10, where=F.col("label") == 3
+        )
+
+    q["knn_filtered_topk"] = knn_filtered_topk
+
     def _mm_frames(spark, n_assets, frames_per_asset, name):
         """Materialize the deterministic synthetic frames to parquet so
         the DuckDB oracle recomputes the SAME decode from the SAME raw
@@ -933,6 +949,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return multimodal.temporal_segments(frames, fps=2.0, segment_duration=5.0)
 
     q["multimodal_segments"] = multimodal_segments
+
+    def food_analysis_docs(spark, sf):
+        """Reference FoodAnalyzer keyword banks (food_analyzer.py:10-90)
+        as codegen'd rule cascades over deterministic per-doc image
+        paths; golden-value parity with the reference's own unittest is
+        gated in pytest (test_food_analyzer.py:15-28 shape)."""
+        docs = _t(spark, sf, "documents")
+        food = F.element_at(
+            F.array(*[F.lit(x) for x in ("salad", "cake", "pasta", "taco", "plain")]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        cook = F.element_at(
+            F.array(*[F.lit(x) for x in ("grill", "fry", "bake")]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        style = F.element_at(
+            F.array(F.lit("fancy"), F.lit("simple")),
+            (F.col("doc_id") % 2 + 1).cast("int"),
+        )
+        base = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("img_"), food, F.lit("_"), cook, F.lit("_"), style, F.lit(".jpg")
+            ).alias("path"),
+        )
+        out = multimodal.food_analysis(base)
+        return out.select(
+            "doc_id",
+            "path",
+            F.concat_ws(",", "ingredients").alias("ingredients"),
+            "cooking_technique",
+            "plating_style",
+            F.concat_ws(",", "nutritional_trends").alias("nutritional_trends"),
+            "cuisine",
+        )
+
+    q["food_analysis_docs"] = food_analysis_docs
 
     # ---- KG retrieval surface: reads the materialized oracle tables ----
     # (construction stages are parity-gated in pytest; these queries check
@@ -1326,6 +1379,16 @@ def oracle_sql() -> dict[str, str]:
                ROUND(CASE WHEN {qna} = 0.0 OR {qnb} = 0.0 THEN 0.0
                      ELSE {qdot} / ({qna} * {qnb}) END, 6) AS score
         FROM embeddings e, q
+        ORDER BY score DESC, e.vec_id ASC LIMIT 10
+    """
+
+    sqls["knn_filtered_topk"] = f"""
+        WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(CASE WHEN {qna} = 0.0 OR {qnb} = 0.0 THEN 0.0
+                     ELSE {qdot} / ({qna} * {qnb}) END, 6) AS score
+        FROM embeddings e, q
+        WHERE e.label = 3
         ORDER BY score DESC, e.vec_id ASC LIMIT 10
     """
 
@@ -2359,6 +2422,44 @@ def oracle_sql() -> dict[str, str]:
           FROM kept
         )
         SELECT doc_id, quality FROM d WHERE doc_id = keep_id
+    """
+
+    # ---- food analyzer rule cascade, recomputed from scratch ----
+    sqls["food_analysis_docs"] = """
+        WITH base AS (
+          SELECT doc_id,
+                 'img_' ||
+                 CASE doc_id % 5 WHEN 0 THEN 'salad' WHEN 1 THEN 'cake'
+                      WHEN 2 THEN 'pasta' WHEN 3 THEN 'taco' ELSE 'plain' END ||
+                 '_' ||
+                 CASE doc_id % 3 WHEN 0 THEN 'grill' WHEN 1 THEN 'fry'
+                      ELSE 'bake' END ||
+                 '_' ||
+                 CASE doc_id % 2 WHEN 0 THEN 'fancy' ELSE 'simple' END ||
+                 '.jpg' AS path
+          FROM documents
+        )
+        SELECT doc_id, path,
+               CASE WHEN contains(path, 'salad') THEN 'lettuce,tomato,cucumber'
+                    WHEN contains(path, 'cake') THEN 'flour,sugar,chocolate'
+                    ELSE 'unknown_ingredient_1,unknown_ingredient_2' END AS ingredients,
+               CASE WHEN contains(path, 'grill') THEN 'grilling'
+                    WHEN contains(path, 'fry') THEN 'frying'
+                    ELSE 'unknown_technique' END AS cooking_technique,
+               CASE WHEN contains(path, 'fancy') THEN 'artistic'
+                    WHEN contains(path, 'simple') THEN 'minimalist'
+                    ELSE 'unknown_style' END AS plating_style,
+               CASE WHEN contains(path, 'healthy') OR contains(path, 'salad')
+                      THEN 'healthy,low-calorie'
+                    WHEN contains(path, 'indulgent') OR contains(path, 'cake')
+                      THEN 'indulgent,high-calorie'
+                    ELSE 'balanced' END AS nutritional_trends,
+               CASE WHEN contains(path, 'italian') OR contains(path, 'pasta')
+                      THEN 'Italian'
+                    WHEN contains(path, 'mexican') OR contains(path, 'taco')
+                      THEN 'Mexican'
+                    ELSE 'Unknown Cuisine' END AS cuisine
+        FROM base
     """
 
     # ---- batch retrieval twins ----

@@ -16,7 +16,7 @@ import zlib
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 FRAME_FEATURES_SCHEMA = T.StructType(
     [
@@ -289,3 +289,77 @@ def resize_frames(frames: DataFrame, width: int, height: int) -> DataFrame:
     return frames.select("asset_id", "frame_number", "payload").mapInPandas(
         run, RESIZED_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Food / visual analyzer keyword banks (SURVEY.md M7; reference
+# food_analyzer.py:10-90 + visual_analyzer.py:100-124).  The reference's
+# analyzers are keyword-on-path mocks; their rule tables are ported
+# 1:1 as codegen'd when/contains cascades (first-match semantics kept —
+# `elif` order matters: a "grilled cake" path is cake-ingredients +
+# grilling + indulgent, test_food_analyzer.py:15-28).
+# ---------------------------------------------------------------------------
+
+def _contains(col: Column, kw: str) -> Column:
+    return F.contains(col, F.lit(kw))
+
+
+def food_analysis(df: DataFrame, path_col: str = "path") -> DataFrame:
+    """Columnar port of FoodAnalyzer over a path/description column:
+    adds ingredients, cooking_technique, plating_style,
+    nutritional_trends, cuisine (food_analyzer.py:10-90 rule-for-rule).
+    Pure string expressions — whole-stage codegen, no UDF."""
+    p = F.col(path_col)
+    ingredients = (
+        F.when(_contains(p, "salad"), F.array(F.lit("lettuce"), F.lit("tomato"), F.lit("cucumber")))
+        .when(_contains(p, "cake"), F.array(F.lit("flour"), F.lit("sugar"), F.lit("chocolate")))
+        .otherwise(F.array(F.lit("unknown_ingredient_1"), F.lit("unknown_ingredient_2")))
+    )
+    technique = (
+        F.when(_contains(p, "grill"), "grilling")
+        .when(_contains(p, "fry"), "frying")
+        .otherwise("unknown_technique")
+    )
+    plating = (
+        F.when(_contains(p, "fancy"), "artistic")
+        .when(_contains(p, "simple"), "minimalist")
+        .otherwise("unknown_style")
+    )
+    nutritional = (
+        F.when(
+            _contains(p, "healthy") | _contains(p, "salad"),
+            F.array(F.lit("healthy"), F.lit("low-calorie")),
+        )
+        .when(
+            _contains(p, "indulgent") | _contains(p, "cake"),
+            F.array(F.lit("indulgent"), F.lit("high-calorie")),
+        )
+        .otherwise(F.array(F.lit("balanced")))
+    )
+    cuisine = (
+        F.when(_contains(p, "italian") | _contains(p, "pasta"), "Italian")
+        .when(_contains(p, "mexican") | _contains(p, "taco"), "Mexican")
+        .otherwise("Unknown Cuisine")
+    )
+    return df.withColumns(
+        {
+            "ingredients": ingredients,
+            "cooking_technique": technique,
+            "plating_style": plating,
+            "nutritional_trends": nutritional,
+            "cuisine": cuisine,
+        }
+    )
+
+
+# FoodAnalyzer.define_food_trend_taxonomy (food_analyzer.py:56-70) — the
+# fixed taxonomy, exposed as a constant (it is config, not computation).
+FOOD_TREND_TAXONOMY = {
+    "categories": ["ingredients", "diets", "cuisine_types", "presentation"],
+    "trends": {
+        "ingredients": ["plant-based", "fermented", "local_seasonal"],
+        "diets": ["vegan", "keto", "gluten-free"],
+        "cuisine_types": ["fusion", "street_food", "comfort_food_revamped"],
+        "presentation": ["deconstructed", "rustic_charcuterie", "bowl_food"],
+    },
+}

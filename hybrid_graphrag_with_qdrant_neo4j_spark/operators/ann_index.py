@@ -94,17 +94,21 @@ def ivf_index_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    where=None,
 ) -> DataFrame:
     """Query the materialized IVF index: probe-centroid selection happens
     driver-side against the K-row centroids table; the vectors scan is
     partition-PRUNED to the probed buckets (the filter is on a partition
     column, so non-probed files are never opened); exact cosine rerank +
-    TakeOrderedAndProject finish it."""
+    TakeOrderedAndProject finish it.  ``where`` = payload filter, pushed
+    into the same pruned scan (composes with partition pruning)."""
     cunit = read_ivf_centroids(spark, path)
     probe_ids = S._probe_centroids(cunit, query_vec, n_probe)
     vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("_centroid").isin(probe_ids)
     )
+    if where is not None:
+        vecs = vecs.filter(where)
     score = E.cosine_vs_query_udf([float(v) for v in query_vec])
     return (
         vecs.withColumn("score", score(F.col(emb_col)))
@@ -173,11 +177,13 @@ def lsh_index_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     seed: int = S._ANN_SEED,
+    where=None,
 ) -> DataFrame:
     """Query the materialized LSH index: per table, prune to the
     partitions whose code is within ``hamming_radius`` of the query's
     code (an OR of partition-column predicates -> file-level pruning),
-    dedup ids that several tables surfaced, exact-rerank, top-k."""
+    dedup ids that several tables surfaced, exact-rerank, top-k.
+    ``where`` = payload filter pushed into the pruned scan."""
     dim = len(query_vec)
     qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
     weights = 1 << np.arange(bits)
@@ -190,6 +196,8 @@ def lsh_index_topk(
             & F.col("_code").isin(_codes_within_radius(qc, bits, hamming_radius))
         )
     vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(cond)
+    if where is not None:
+        vecs = vecs.filter(where)
     cand = vecs.dropDuplicates([id_col])
     score = E.cosine_vs_query_udf([float(v) for v in query_vec])
     return (

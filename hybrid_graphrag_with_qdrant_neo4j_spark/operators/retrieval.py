@@ -20,7 +20,10 @@ from ..functions import embedding as E
 # ---------------------------------------------------------------------------
 
 def vector_search(
-    chunk_embeddings: DataFrame, query_text: str, top_k: int = 10
+    chunk_embeddings: DataFrame,
+    query_text: str,
+    top_k: int = 10,
+    where=None,
 ) -> DataFrame:
     """Brute-force scored scan + distributed top-k.
 
@@ -30,9 +33,17 @@ def vector_search(
     to TakeOrderedAndProject — partial top-k per partition, k rows to
     the driver.  At 10^12 scale the same plan runs behind an LSH/IVF
     pre-filter (see operators.similarity.ann_lsh_topk).
+
+    ``where`` (Column or SQL string) is the reference's payload-filtered
+    search (qdrant_connection.py:154-180 ``filter`` param): applied
+    BELOW the scoring UDF, so a predicate on a stored column reaches the
+    parquet scan as a pushed filter — filter-THEN-rank, which keeps
+    top_k recall within the filtered set (rank-then-filter would not).
     """
     from .. import textproc as tp
 
+    if where is not None:
+        chunk_embeddings = chunk_embeddings.filter(where)
     qvec = tp.embed_text_py("query: " + query_text)
     score = E.cosine_vs_query_udf(qvec)
     return (

@@ -28,11 +28,16 @@ def brute_force_topk(
     top_k: int = 10,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    where=None,
 ) -> DataFrame:
     """Exact cosine top-k: one scan, Arrow-batched numpy matvec scoring
     (E.cosine_vs_query_udf — the interpreted zip_with lambda measured
     ~100x slower), TakeOrderedAndProject for the distributed top-k.
-    No shuffle beyond the k-row collect."""
+    No shuffle beyond the k-row collect.  ``where`` = payload filter
+    applied below the scoring UDF (filter-then-rank; the predicate
+    reaches the scan as a pushed filter)."""
+    if where is not None:
+        embeddings = embeddings.filter(where)
     score = E.cosine_vs_query_udf(query_vec)
     return (
         embeddings.withColumn("score", score(F.col(emb_col)))
@@ -83,6 +88,7 @@ def ann_lsh_topk(
     hamming_radius: int = 1,
     dim: int | None = None,
     n_probes: int | None = None,  # back-compat alias: ignored, see n_tables
+    where=None,
 ) -> DataFrame:
     """Multi-table LSH ANN: a row is a candidate if ANY of its
     ``n_tables`` hyperplane codes is within ``hamming_radius`` of the
@@ -92,7 +98,11 @@ def ann_lsh_topk(
     One scan, no shuffle before the k-row collect; the candidate filter
     is a codegen'd OR of bit_count(xor) tests over the code array.
     Recall gate: tests/test_streaming_multimodal.py asserts recall@10 vs
-    brute force on the sf0.001 embeddings."""
+    brute force on the sf0.001 embeddings.  ``where`` = payload filter
+    applied below the bucketing UDF (filter-then-bucket-then-rank, the
+    reference's qdrant filter-param semantics)."""
+    if where is not None:
+        embeddings = embeddings.filter(where)
     dim = dim or len(query_vec)
     qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
     weights = 1 << np.arange(bits)
@@ -226,6 +236,7 @@ def ivf_topk(
     lloyd_iters: int = 2,
     centroids: np.ndarray | None = None,
     centroid_step: int | None = None,  # legacy arg of the O(n/50) design: ignored
+    where=None,
 ) -> DataFrame:
     """IVF-flat ANN over a fixed-K trained quantizer: the query probes
     its ``n_probe`` nearest centroids and exact-reranks only their
@@ -236,7 +247,18 @@ def ivf_topk(
     from a written index) to skip training — the query-time path of a
     real deployment, where assignment is a WRITE-time partition key (see
     :func:`write_ivf_index`) and a query reads ~n_probe/K of the data.
+    ``where`` = payload filter applied below assignment (filter-then-
+    rank; training still sees the full table so the quantizer is stable
+    across differently-filtered queries).
     """
+    if where is not None and centroids is None:
+        # train on the unfiltered table FIRST so the quantizer does not
+        # depend on the predicate
+        centroids = ivf_train_centroids(
+            embeddings, k=k, id_col=id_col, emb_col=emb_col, lloyd_iters=lloyd_iters
+        )
+    if where is not None:
+        embeddings = embeddings.filter(where)
     if centroids is None:
         centroids = ivf_train_centroids(
             embeddings, k=k, id_col=id_col, emb_col=emb_col, lloyd_iters=lloyd_iters

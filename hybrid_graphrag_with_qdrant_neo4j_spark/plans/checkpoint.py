@@ -23,6 +23,52 @@ from pyspark.sql import DataFrame, SparkSession
 MANIFEST_NAME = "_manifest.json"
 
 
+# ---------------------------------------------------------------------------
+# Iceberg probe (VERDICT r2 next-round #8): when the cluster classpath has
+# the Iceberg runtime AND a catalog is configured, stage snapshots are
+# Iceberg tables (createOrReplace = atomic snapshot commit) and the
+# manifest records the snapshot id; otherwise plain parquet with identical
+# schemas and identical resume semantics.  This runtime has no Iceberg
+# jars, so the parquet path is what CI exercises; the Iceberg test is
+# import-skipped.
+# ---------------------------------------------------------------------------
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the JVM classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_catalog(spark: SparkSession) -> Optional[str]:
+    """Name of a configured Iceberg catalog (spark.sql.catalog.<name> =
+    org.apache.iceberg.spark.SparkCatalog), or None."""
+    if not iceberg_available(spark):
+        return None
+    for k, v in spark.sparkContext.getConf().getAll():
+        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+            return k.rsplit(".", 1)[1]
+    return None
+
+
+def _iceberg_table_name(catalog: str, namespace: str, stage: str) -> str:
+    safe = "".join(c if c.isalnum() or c == "_" else "_" for c in stage)
+    return f"{catalog}.{namespace}.{safe}"
+
+
+def _latest_snapshot_id(spark: SparkSession, table: str) -> Optional[int]:
+    try:
+        row = spark.sql(
+            f"SELECT snapshot_id FROM {table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).first()
+        return int(row[0]) if row else None
+    except Exception:
+        return None
+
+
 @dataclass
 class StageResult:
     df: DataFrame
@@ -59,23 +105,38 @@ def run_stage(
 ) -> StageResult:
     """Compute-or-resume one pipeline stage.
 
-    The manifest is written only *after* the parquet commit succeeds, so
-    a kill mid-write leaves no manifest and the stage recomputes —
-    exactly-once snapshot semantics without a transaction log.  (With
-    Iceberg jars on the cluster this becomes ``writeTo(...).createOrReplace``
-    and the snapshot id goes in the manifest instead.)
+    The manifest is written only *after* the data commit succeeds, so a
+    kill mid-write leaves no manifest and the stage recomputes —
+    exactly-once snapshot semantics without a transaction log.  When an
+    Iceberg catalog is configured (see :func:`iceberg_catalog`) the
+    snapshot is an Iceberg table committed via
+    ``writeTo(...).createOrReplace()`` and the manifest records the
+    snapshot id; resume reads the table back by name.
     """
     manifest = load_manifest(out_dir, stage)
     data_path = _data_path(out_dir, stage)
     if manifest is not None and manifest.get("fingerprint") == fingerprint:
-        df = spark.read.parquet(data_path)
+        if manifest.get("iceberg_table"):
+            df = spark.read.table(manifest["iceberg_table"])
+        else:
+            df = spark.read.parquet(data_path)
         return StageResult(df=df, resumed=True, manifest=manifest)
 
     df = compute()
     if repartition:
         df = df.repartition(repartition)
-    df.write.mode("overwrite").parquet(data_path)
-    out = spark.read.parquet(data_path)
+    catalog = iceberg_catalog(spark)
+    extra: dict = {}
+    if catalog:
+        namespace = os.environ.get("SPARK_GRAFT_ICEBERG_NS", "default")
+        table = _iceberg_table_name(catalog, namespace, stage)
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+        df.writeTo(table).createOrReplace()
+        out = spark.read.table(table)
+        extra = {"iceberg_table": table, "snapshot_id": _latest_snapshot_id(spark, table)}
+    else:
+        df.write.mode("overwrite").parquet(data_path)
+        out = spark.read.parquet(data_path)
     n_rows = out.count()
     manifest = {
         "stage": stage,
@@ -84,6 +145,7 @@ def run_stage(
         "n_partitions": out.rdd.getNumPartitions(),
         "schema": out.schema.simpleString(),
         "completed_at_unix": int(time.time()),
+        **extra,
     }
     os.makedirs(os.path.dirname(_manifest_path(out_dir, stage)), exist_ok=True)
     tmp = _manifest_path(out_dir, stage) + ".tmp"

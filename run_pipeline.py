@@ -1,16 +1,25 @@
 #!/usr/bin/env python
-"""spark-submit entry point for the KG construction pipeline.
+"""spark-submit entry point — the reference CLI's two verbs
+(cli/main.py:447-487) over the Spark engine:
+
+    graphrag process <files>    ->  run_pipeline.py process --out ... --pages N
+    graphrag query "<q>"        ->  run_pipeline.py query "<q>" --kg-dir ...
+        --triplets / default        --mode triplets | hybrid
+        --with-context              --mode context
 
 Usage (the north-rule deployment shape):
 
     zip -r /tmp/hgqn_spark.zip hybrid_graphrag_with_qdrant_neo4j_spark
     spark-submit --master local[32] --py-files /tmp/hgqn_spark.zip \
-        run_pipeline.py --out /data/kg --pages 10000 [--input PARQUET_DIR]
+        run_pipeline.py process --out /data/kg --pages 10000 [--input DIR]
+    spark-submit ... run_pipeline.py query "Who founded Globex Systems?" \
+        --kg-dir /data/kg --mode hybrid --top-k 10
 
-Reads pages from ``--input`` (parquet with the input_hint schema:
-url, warc_ts, html, text, lang) or generates the deterministic synthetic
-corpus with ``--pages N``.  Resumable: rerunning with the same --out and
-input fingerprint skips completed stages (plans.checkpoint manifests).
+Process mode reads pages from ``--input`` (parquet with the input_hint
+schema) or generates the deterministic synthetic corpus with ``--pages``.
+Resumable: rerunning with the same --out and input fingerprint skips
+completed stages (plans.checkpoint manifests).  The bare legacy form
+(``run_pipeline.py --out ...``) still works.
 """
 
 from __future__ import annotations
@@ -24,15 +33,95 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _render_query_results(mode: str, out: dict, top_k: int) -> None:
+    """Terminal rendering mirroring the reference's print_query_results
+    (cli/main.py:227-309): numbered chunks, MATCH/CONTEXT flags in
+    context mode, a triplets section in triplets mode."""
+    print("\n" + "=" * 80)
+    print("QUERY RESULTS:")
+    print("=" * 80)
+    chunk_rows = out["chunks"].collect()
+    if not chunk_rows:
+        print("\nNo results found.")
+    elif mode == "context":
+        print("\nRetrieved chunks with context:")
+        for i, r in enumerate(chunk_rows, 1):
+            flag = "MATCH" if r["is_match"] else "CONTEXT"
+            score = f" (score: {r['score']:.3f})" if r["is_match"] else ""
+            print(f"\n{i}. {flag}: Chunk {r['chunk_id']}{score}:")
+            print("-" * 40)
+            print((r["text"] or "")[:500])
+    else:
+        print(f"\nTop {min(top_k, len(chunk_rows))} chunks:")
+        for i, r in enumerate(chunk_rows, 1):
+            print(f"\n{i}. Chunk {r['chunk_id']} (score: {r['score']:.3f}):")
+            print("-" * 40)
+            print((r["text"] or "")[:500])
+    if out.get("triplets") is not None:
+        print("\n" + "=" * 80)
+        print("RELATED TRIPLETS:")
+        print("=" * 80)
+        trip_rows = out["triplets"].collect()
+        if not trip_rows:
+            print("\nNo triplets found.")
+        for r in trip_rows:
+            print(f"  {r['subj_id']} -[{r['pred']}]-> {r['obj_id']}  (chunk {r['chunk_id']})")
+    print()
+
+
+def _query_main(args) -> None:
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+
+    spark = get_spark(app_name="kg_query")
+    rag = GraphRAG(spark, args.kg_dir)
+    out = rag.query(
+        args.query,
+        mode=args.mode,
+        top_k=args.top_k,
+        vector_weight=args.vector_weight,
+        context_size=args.context_size,
+    )
+    _render_query_results(args.mode, out, args.top_k)
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", required=True, help="output/checkpoint directory")
-    ap.add_argument("--input", help="parquet dir of pages (input_hint schema)")
-    ap.add_argument("--pages", type=int, default=1000, help="synthetic corpus size")
-    ap.add_argument("--max-tokens", type=int, default=200)
-    ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--seed", type=int, default=42)
-    args = ap.parse_args()
+    sub = ap.add_subparsers(dest="cmd")
+
+    proc = sub.add_parser("process", help="build the KG (reference: graphrag process)")
+    proc.add_argument("--out", required=True, help="output/checkpoint directory")
+    proc.add_argument("--input", help="parquet dir of pages (input_hint schema)")
+    proc.add_argument("--pages", type=int, default=1000, help="synthetic corpus size")
+    proc.add_argument("--max-tokens", type=int, default=200)
+    proc.add_argument("--partitions", type=int, default=None)
+    proc.add_argument("--seed", type=int, default=42)
+
+    qp = sub.add_parser("query", help="query a built KG (reference: graphrag query)")
+    qp.add_argument("query")
+    qp.add_argument("--kg-dir", required=True, help="directory written by process")
+    qp.add_argument(
+        "--mode",
+        choices=["hybrid", "context", "triplets"],
+        default="hybrid",
+        help="hybrid (default) | context (--with-context) | triplets (--triplets)",
+    )
+    # reference defaults: config.py:131-134
+    qp.add_argument("--top-k", type=int, default=10)
+    qp.add_argument("--vector-weight", type=float, default=0.5)
+    qp.add_argument("--context-size", type=int, default=2)
+
+    argv = sys.argv[1:]
+    if argv and argv[0].startswith("--"):  # legacy flat form == process
+        argv = ["process"] + argv
+    args = ap.parse_args(argv)
+    if args.cmd is None:
+        ap.print_help()
+        sys.exit(2)
+    if args.cmd == "query":
+        _query_main(args)
+        return
 
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
     from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark

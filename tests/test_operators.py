@@ -393,3 +393,30 @@ def test_batch_retrieval_equals_per_query(spark):
     assert tgot == twant
     # at least one query actually matched something
     assert len(tgot) > 0 and len(got) == 15
+
+
+def test_filtered_vector_search_pushes_predicate(spark):
+    """Payload-filtered search (VERDICT r2 next-round #6): the `where`
+    predicate must reach the parquet scan as a PushedFilter (filter-
+    then-rank BELOW the scoring UDF), and results must equal filtering
+    first by hand."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = [float(v) for v in emb.filter("vec_id = 0").first()["embedding"]]
+    from pyspark.sql import functions as F
+
+    out = similarity.brute_force_topk(emb, qvec, top_k=10, where=F.col("label") == 3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pushed = plan.split("PushedFilters", 1)
+    assert len(pushed) == 2 and "label" in pushed[1][:200], plan[-800:]
+
+    manual = similarity.brute_force_topk(emb.filter("label = 3"), qvec, top_k=10)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in manual.collect()]
+    rows = out.collect()
+    assert rows and all(
+        r["vec_id"] in {x["vec_id"] for x in emb.filter("label=3").select("vec_id").collect()}
+        for r in rows
+    )

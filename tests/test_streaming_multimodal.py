@@ -304,3 +304,54 @@ def test_written_ann_index_prunes_partitions(spark, tmp_path):
         emb, qvec, top_k=10, bits=8, n_tables=4, hamming_radius=1
     )
     assert [tuple(r) for r in lout.collect()] == [tuple(r) for r in adhoc.collect()]
+
+
+def test_food_analyzer_golden_values(spark):
+    """1:1 port of the reference's FoodAnalyzer rule tables — the exact
+    expected-output equalities of its own unittest
+    (test_food_analyzer.py:15-28), including the elif-order subtlety
+    (a 'cake_grill_fancy' path is cake-ingredients + grilling +
+    artistic + indulgent)."""
+    fixtures = [
+        "example_salad_image.jpg",
+        "test_image_cake_grill_fancy.jpg",
+        "unknown_food.jpg",
+        "fry_chicken.jpg",
+        "baked_bread.jpg",
+        "simple_dish.jpg",
+        "a very healthy salad bowl",
+        "an indulgent chocolate cake",
+        "a balanced meal.jpg",
+        "italian_pasta_image.jpg",
+        "mexican_tacos.jpg",
+        "french_soup.jpg",
+    ]
+    df = spark.createDataFrame([(p,) for p in fixtures], "path string")
+    out = {r["path"]: r for r in multimodal.food_analysis(df).collect()}
+
+    assert out["example_salad_image.jpg"]["ingredients"] == ["lettuce", "tomato", "cucumber"]
+    assert out["test_image_cake_grill_fancy.jpg"]["ingredients"] == ["flour", "sugar", "chocolate"]
+    assert out["unknown_food.jpg"]["ingredients"] == ["unknown_ingredient_1", "unknown_ingredient_2"]
+    assert out["test_image_cake_grill_fancy.jpg"]["cooking_technique"] == "grilling"
+    # NOTE: the reference's OWN unittest asserts "fried_chicken.jpg" ->
+    # "frying" (test_food_analyzer.py:21) but its implementation tests
+    # `"fry" in path` (food_analyzer.py:31) and "fry" is not a substring
+    # of "fried" — that reference test cannot pass against its own code.
+    # We port the IMPLEMENTATION semantics (the behavior a user gets).
+    assert out["fry_chicken.jpg"]["cooking_technique"] == "frying"
+    assert out["baked_bread.jpg"]["cooking_technique"] == "unknown_technique"
+    assert out["test_image_cake_grill_fancy.jpg"]["plating_style"] == "artistic"
+    assert out["simple_dish.jpg"]["plating_style"] == "minimalist"
+    assert out["baked_bread.jpg"]["plating_style"] == "unknown_style"
+    assert out["a very healthy salad bowl"]["nutritional_trends"] == ["healthy", "low-calorie"]
+    assert out["example_salad_image.jpg"]["nutritional_trends"] == ["healthy", "low-calorie"]
+    assert out["an indulgent chocolate cake"]["nutritional_trends"] == ["indulgent", "high-calorie"]
+    assert out["a balanced meal.jpg"]["nutritional_trends"] == ["balanced"]
+    assert out["italian_pasta_image.jpg"]["cuisine"] == "Italian"
+    assert out["mexican_tacos.jpg"]["cuisine"] == "Mexican"
+    assert out["french_soup.jpg"]["cuisine"] == "Unknown Cuisine"
+
+    # taxonomy constant matches the reference's shape
+    tax = multimodal.FOOD_TREND_TAXONOMY
+    assert set(tax["categories"]) == {"ingredients", "diets", "cuisine_types", "presentation"}
+    assert tax["trends"]["diets"] == ["vegan", "keto", "gluten-free"]
