@@ -1114,6 +1114,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_search_many_docs"] = term_search_many_docs
 
+    def hybrid_fusion_many_docs(spark, sf):
+        """Batch hybrid fusion: two queries' vector/graph score lists
+        fused per query in one plan (per-query min-max windows)."""
+        docs = _t(spark, sf, "documents")
+
+        def scores(mod, mul, prime, qid):
+            return docs.filter(F.col("doc_id") % mod == 0).select(
+                F.lit(qid).alias("query_id"),
+                F.col("doc_id").cast("string").alias("chunk_id"),
+                ((F.col("doc_id") * mul) % prime / F.lit(float(prime))).alias("score"),
+            )
+
+        v = scores(7, 2654435761, 1000003, "qa").unionByName(
+            scores(3, 97, 999983, "qb")
+        )
+        g = scores(5, 48271, 999983, "qa").unionByName(
+            scores(4, 31, 1000003, "qb")
+        )
+        fused = retrieval.hybrid_fuse_many(v, g, vector_weight=0.5, top_k=15)
+        return fused.select(
+            "query_id",
+            F.col("chunk_id").cast("long").alias("doc_id"),
+            F.round("vector_score", 6).alias("vector_score"),
+            F.round("graph_score", 6).alias("graph_score"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["hybrid_fusion_many_docs"] = hybrid_fusion_many_docs
+
     return q
 
 
@@ -2506,6 +2535,62 @@ def oracle_sql() -> dict[str, str]:
           FROM agg
         )
         SELECT query_id, doc_id, score FROM r WHERE rn <= 10
+    """
+
+    sqls["hybrid_fusion_many_docs"] = """
+        WITH v AS (
+          SELECT 'qa' AS query_id, CAST(doc_id AS VARCHAR) AS chunk_id,
+                 (doc_id * 2654435761) % 1000003 / 1000003.0 AS score
+          FROM documents WHERE doc_id % 7 = 0
+          UNION ALL
+          SELECT 'qb', CAST(doc_id AS VARCHAR),
+                 (doc_id * 97) % 999983 / 999983.0
+          FROM documents WHERE doc_id % 3 = 0
+        ),
+        g AS (
+          SELECT 'qa' AS query_id, CAST(doc_id AS VARCHAR) AS chunk_id,
+                 (doc_id * 48271) % 999983 / 999983.0 AS score
+          FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT 'qb', CAST(doc_id AS VARCHAR),
+                 (doc_id * 31) % 1000003 / 1000003.0
+          FROM documents WHERE doc_id % 4 = 0
+        ),
+        vn AS (
+          SELECT query_id, chunk_id,
+                 CASE WHEN MAX(score) OVER (PARTITION BY query_id)
+                         = MIN(score) OVER (PARTITION BY query_id) THEN 1.0
+                      ELSE (score - MIN(score) OVER (PARTITION BY query_id))
+                         / (MAX(score) OVER (PARTITION BY query_id)
+                            - MIN(score) OVER (PARTITION BY query_id)) END AS vscore
+          FROM v
+        ),
+        gn AS (
+          SELECT query_id, chunk_id,
+                 CASE WHEN MAX(score) OVER (PARTITION BY query_id)
+                         = MIN(score) OVER (PARTITION BY query_id) THEN 1.0
+                      ELSE (score - MIN(score) OVER (PARTITION BY query_id))
+                         / (MAX(score) OVER (PARTITION BY query_id)
+                            - MIN(score) OVER (PARTITION BY query_id)) END AS gscore
+          FROM g
+        ),
+        fused AS (
+          SELECT query_id, chunk_id,
+                 COALESCE(vscore, 0.0) AS vscore,
+                 COALESCE(gscore, 0.0) AS gscore,
+                 0.5 * COALESCE(vscore, 0.0) + 0.5 * COALESCE(gscore, 0.0) AS score
+          FROM vn FULL OUTER JOIN gn USING (query_id, chunk_id)
+        ),
+        r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY score DESC, chunk_id ASC) AS rn
+          FROM fused
+        )
+        SELECT query_id, CAST(chunk_id AS BIGINT) AS doc_id,
+               ROUND(vscore, 6) AS vector_score,
+               ROUND(gscore, 6) AS graph_score,
+               ROUND(score, 6) AS score
+        FROM r WHERE rn <= 15
     """
 
     # ---- kg_edges_synthetic: the WHOLE construction pipeline rebuilt in

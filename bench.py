@@ -44,6 +44,13 @@ HEADLINE = [
     "exact_dedup_docs",
     "knn_topk",
     "ann_lsh_topk",
+    # ann_ivf_topk includes fixed-K training per call (the query's own
+    # definition, so its oracle can read the materialized quantizer);
+    # ann_ivf_indexed_topk / vector_search_many_corpus are index-BUILD /
+    # kg-build dominated and stay out of the latency headline (their
+    # correctness is oracle-checked; pruning is plan-gated in pytest)
+    "ann_ivf_topk",
+    "term_search_many_docs",
     "cosine_dup_pairs",
     "minhash_near_dups",
     "simhash_fingerprints",

@@ -269,6 +269,51 @@ def hybrid_fuse(
     )
 
 
+def normalize_scores_many(results: DataFrame, score_col: str = "score") -> DataFrame:
+    """Per-query min-max normalization (the batch twin of
+    :func:`normalize_scores`): the window is keyed by query_id, so one
+    pass normalizes every query's result list independently; equal
+    min/max within a query -> all 1.0 (retrieval.py:560-562 guard)."""
+    w = Window.partitionBy("query_id")
+    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
+    return results.withColumn(
+        score_col,
+        F.when(mx == mn, F.lit(1.0)).otherwise((F.col(score_col) - mn) / (mx - mn)),
+    )
+
+
+def hybrid_fuse_many(
+    vector_results: DataFrame,
+    graph_results: DataFrame,
+    vector_weight: float = 0.5,
+    top_k: int = 10,
+) -> DataFrame:
+    """Batch hybrid fusion: both inputs carry (query_id, chunk_id,
+    score); full-outer join on (query_id, chunk_id), missing side 0.0,
+    weighted sum, per-query top-k rank window — N queries fused in one
+    plan (completes the batch retrieval path: vector_search_many +
+    term_search_many -> hybrid_fuse_many)."""
+    v = normalize_scores_many(vector_results).withColumnRenamed("score", "vector_score")
+    g = normalize_scores_many(graph_results).withColumnRenamed("score", "graph_score")
+    fused = (
+        v.join(g, ["query_id", "chunk_id"], "full_outer")
+        .withColumn("vector_score", F.coalesce("vector_score", F.lit(0.0)))
+        .withColumn("graph_score", F.coalesce("graph_score", F.lit(0.0)))
+        .withColumn(
+            "score",
+            F.lit(vector_weight) * F.col("vector_score")
+            + F.lit(1.0 - vector_weight) * F.col("graph_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("chunk_id"))
+    return (
+        fused.select("query_id", "chunk_id", "vector_score", "graph_score", "score")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Context-window expansion (J9; retrieval.py:419-514)
 # ---------------------------------------------------------------------------

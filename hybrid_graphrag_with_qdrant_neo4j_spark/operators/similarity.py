@@ -191,16 +191,37 @@ def ivf_train_centroids(
     cunit = _unit_rows(np.stack([r[0] for r in init_rows]).astype(np.float64))
     dim = cunit.shape[1]
     for _ in range(lloyd_iters):
-        assigned = embeddings.select(
-            _assign_udf(cunit)(F.col(emb_col)).alias("_c"),
-            F.posexplode(F.col(emb_col)).alias("_pos", "_val"),
-        )
+        # partial sums per PARTITION inside one Arrow pass (assignment +
+        # accumulation fused in numpy) — each partition emits at most
+        # K x dim cells, so the shuffle into the final aggregate is
+        # O(partitions x K x dim) and no n x dim exploded row stream
+        # ever exists
+        k_now = cunit.shape[0]
+        cu = cunit
+
+        def partial_sums(batches):
+            sums = np.zeros((k_now, dim))
+            counts = np.zeros(k_now, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                a = np.argmax(_unit_rows(mat) @ cu.T, axis=1)
+                np.add.at(sums, a, mat)
+                np.add.at(counts, a, 1)
+            nz = np.nonzero(counts)[0]
+            cells = [
+                (int(c), int(p), float(sums[c, p]), int(counts[c]))
+                for c in nz
+                for p in range(dim)
+            ]
+            yield pd.DataFrame(cells, columns=["_c", "_pos", "_sum", "_n"])
+
         cells = (
-            assigned.groupBy("_c", "_pos")
-            .agg(
-                F.sum(F.col("_val").cast("double")).alias("_sum"),
-                F.count("*").alias("_n"),
-            )
+            embeddings.select(emb_col)
+            .mapInPandas(partial_sums, "_c int, _pos int, _sum double, _n long")
+            .groupBy("_c", "_pos")
+            .agg(F.sum("_sum").alias("_sum"), F.sum("_n").alias("_n"))
             .collect()  # exactly K x dim rows — fixed, table-size-independent
         )
         new = cunit.copy()  # empty cluster -> keep previous centroid

@@ -420,3 +420,35 @@ def test_filtered_vector_search_pushes_predicate(spark):
         r["vec_id"] in {x["vec_id"] for x in emb.filter("label=3").select("vec_id").collect()}
         for r in rows
     )
+
+
+def test_hybrid_fuse_many_equals_per_query(spark):
+    """Batch hybrid fusion must equal per-query hybrid_fuse exactly,
+    including the per-query equal-min-max normalization guard."""
+    from pyspark.sql import functions as F
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import retrieval
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "query_id string, chunk_id string, score double")
+
+    v = mk([("a", "c1", 0.9), ("a", "c2", 0.3), ("b", "c1", 0.5), ("b", "c3", 0.5)])
+    g = mk([("a", "c2", 2.0), ("a", "c4", 1.0), ("b", "c3", 7.0)])
+
+    many = retrieval.hybrid_fuse_many(v, g, vector_weight=0.6, top_k=10)
+    got = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in many.collect()
+    }
+    want = set()
+    for qid in ("a", "b"):
+        single = retrieval.hybrid_fuse(
+            v.filter(F.col("query_id") == qid).drop("query_id"),
+            g.filter(F.col("query_id") == qid).drop("query_id"),
+            vector_weight=0.6,
+            top_k=10,
+        )
+        for r in single.collect():
+            want.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert got == want
+    # query b's vector side has equal min/max -> both rows normalized to 1.0
+    b = {r["chunk_id"]: r for r in many.filter("query_id='b'").collect()}
+    assert b["c1"]["vector_score"] == 1.0 and b["c3"]["vector_score"] == 1.0
