@@ -81,3 +81,21 @@ def test_cli_query_all_modes(kg, spark, monkeypatch, capsys):
         assert marker in out, f"mode={mode}: marker {marker!r} missing\n{out[:600]}"
     # triplets mode must actually print an edge arrow
     assert "-[" in out and "]->" in out
+
+
+def test_query_many_matches_per_query_hybrid(kg):
+    """Facade batch path: query_many's per-query rows must equal the
+    single-query hybrid mode's fused scores."""
+    queries = [("q0", "Who founded Globex Systems?"), ("q1", "Acme Corporation")]
+    many = kg.query_many(queries, top_k=5)
+    rows = many.collect()
+    assert {r["query_id"] for r in rows} == {"q0", "q1"}
+    got = {(r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in rows}
+    want = set()
+    for qid, qtext in queries:
+        res = kg.query(qtext, mode="hybrid", top_k=5)
+        for r in res["chunks"].collect():
+            want.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert got == want
+    # text column joined in
+    assert all(r["text"] for r in rows)
