@@ -122,22 +122,6 @@ def main() -> None:
         en = chunks.filter(F.col("lang") == "en")
         terms = ngrams.term_chunk_edges(en)
         t = triples_op.triples_raw(en).persist()
-        # materialize the persisted upstream BEFORE the linking/CC
-        # section: connected_components localCheckpoints eagerly, and its
-        # first job otherwise evaluates the whole UDF chain through BOTH
-        # legs of the LSH self-join concurrently — cache-lock
-        # serialization + duplicated python-UDF stages measured 67s vs
-        # 9s for the same work on this host (see BENCH/BASELINE.md)
-        t.count()
-        # path selection counts distinct names WITHOUT the embedding UDF
-        # (pipeline.py does the same — VERDICT r2 #4)
-        n_entities = (
-            t.select(F.col("subj").alias("name"))
-            .unionByName(t.select(F.col("obj").alias("name")))
-            .dropDuplicates(["name"])
-            .count()
-        )
-        ents = linking.entity_nodes(t)
 
         profile = os.environ.get("SPARK_GRAFT_KG_PROFILE") == "1"
         prof: dict[str, float] = {}
@@ -150,14 +134,30 @@ def main() -> None:
             t0p = now
 
         if profile:
-            # materialize the persist points BEFORE mapping construction:
-            # connected_components localCheckpoints eagerly, so building
-            # `mapping` otherwise absorbs the whole upstream UDF chain
-            # and the profile mis-attributes extract/chunk/triple time
+            # laps must bracket the FIRST materialization of each persist
+            # point or the unconditional t.count() below absorbs the whole
+            # extract/chunk/triple chain and the profile lies
             chunks.count()
             lap("extract+chunk")
-            t.count()
+        # materialize the persisted upstream BEFORE the linking/CC
+        # section: connected_components localCheckpoints eagerly, and its
+        # first job otherwise evaluates the whole UDF chain through BOTH
+        # legs of the LSH self-join concurrently — cache-lock
+        # serialization + duplicated python-UDF stages measured 67s vs
+        # 9s for the same work on this host (see BENCH/BASELINE.md)
+        t.count()
+        if profile:
             lap("triples")
+        # path selection counts distinct names WITHOUT the embedding UDF
+        # (pipeline.py does the same — VERDICT r2 #4)
+        n_entities = (
+            t.select(F.col("subj").alias("name"))
+            .unionByName(t.select(F.col("obj").alias("name")))
+            .dropDuplicates(["name"])
+            .count()
+        )
+        ents = linking.entity_nodes(t)
+        if profile:
             prof["n_entities"] = n_entities
             lap("entity_dedup")
         # scale-adaptive link+canonicalize (driver path under 10k
