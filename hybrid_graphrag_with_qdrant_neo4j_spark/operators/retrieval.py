@@ -359,6 +359,45 @@ def expand_context(
     )
 
 
+def expand_context_many(
+    matches: DataFrame, chunks: DataFrame, context_size: int = 2
+) -> DataFrame:
+    """Batch twin of :func:`expand_context`: matches carry (query_id,
+    chunk_id, score); every query's context windows expand in ONE range
+    self-join, with the seen-chunk dedup keyed per query.  Output adds
+    query_id to the single-query schema."""
+    m = (
+        matches.join(
+            chunks.select("chunk_id", "doc_id", F.col("chunk_index").alias("match_index")),
+            "chunk_id",
+        )
+        .select(
+            "query_id",
+            F.col("chunk_id").alias("match_chunk_id"),
+            "doc_id",
+            "match_index",
+            "score",
+        )
+    )
+    expanded = m.join(
+        chunks.select("chunk_id", "doc_id", "chunk_index", "text"),
+        ["doc_id"],
+    ).filter(F.abs(F.col("chunk_index") - F.col("match_index")) <= context_size)
+    expanded = expanded.withColumn(
+        "is_match", (F.col("chunk_index") == F.col("match_index"))
+    )
+    w = Window.partitionBy("query_id", "chunk_id").orderBy(
+        F.desc("is_match"), F.desc("score"), F.asc("match_chunk_id")
+    )
+    return (
+        expanded.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "query_id", "chunk_id", "doc_id", "chunk_index", "text", "is_match", "score"
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Triplet-enriched retrieval (T4; retrieval.py:607-637)
 # ---------------------------------------------------------------------------

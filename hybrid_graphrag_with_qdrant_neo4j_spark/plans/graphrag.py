@@ -119,12 +119,17 @@ class GraphRAG:
         queries,
         top_k: int = 10,
         vector_weight: float = 0.5,
+        mode: str = "hybrid",
+        context_size: int = 2,
     ) -> DataFrame:
         """Batch hybrid retrieval: [(query_id, query_text)] -> ONE plan
         answering every query (vector_search_many + term_search_many ->
         hybrid_fuse_many -> chunk-text join).  Serving a 1000-query
         evaluation set is one job, not 1000 (VERDICT r2 'what's wrong'
-        #3).  Returns (query_id, chunk_id, text, score)."""
+        #3).  Returns (query_id, chunk_id, text, score); with
+        ``mode="context"`` the fused matches expand through
+        expand_context_many and the output adds (doc_id, chunk_index,
+        is_match)."""
         v = retrieval.vector_search_many(
             self.table("chunk_embeddings"), queries, top_k=top_k
         )
@@ -171,6 +176,12 @@ class GraphRAG:
         fused = retrieval.hybrid_fuse_many(
             v, g, vector_weight=vector_weight, top_k=top_k
         )
+        if mode == "context":
+            return retrieval.expand_context_many(
+                fused.select("query_id", "chunk_id", "score"),
+                self.table("chunks"),
+                context_size,
+            )
         return fused.join(
             self.table("chunks").select("chunk_id", "text"), "chunk_id", "left"
         ).select("query_id", "chunk_id", "text", "score")

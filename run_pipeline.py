@@ -86,6 +86,43 @@ def _query_main(args) -> None:
     spark.stop()
 
 
+def _query_many_main(args) -> None:
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+
+    with open(args.queries_file, "r", encoding="utf-8") as fh:
+        queries = [
+            (f"q{i}", line.strip())
+            for i, line in enumerate(fh)
+            if line.strip()
+        ]
+    spark = get_spark(app_name="kg_query_many")
+    rag = GraphRAG(spark, args.kg_dir)
+    out = rag.query_many(
+        queries,
+        top_k=args.top_k,
+        vector_weight=args.vector_weight,
+        mode=args.mode,
+        context_size=args.context_size,
+    ).collect()
+    by_query: dict = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    print("\n" + "=" * 80)
+    print(f"BATCH QUERY RESULTS ({len(queries)} queries, one job):")
+    print("=" * 80)
+    for qid, qtext in queries:
+        rows = by_query.get(qid, [])
+        print(f"\n[{qid}] {qtext}  ({len(rows)} results)")
+        for r in rows:
+            flag = ""
+            if args.mode == "context":
+                flag = "MATCH " if r["is_match"] else "CTX   "
+            print(f"  {flag}{r['chunk_id']}  score={r['score']:.3f}")
+    print()
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd")
@@ -97,6 +134,18 @@ def main() -> None:
     proc.add_argument("--max-tokens", type=int, default=200)
     proc.add_argument("--partitions", type=int, default=None)
     proc.add_argument("--seed", type=int, default=42)
+
+    qm = sub.add_parser(
+        "query-many",
+        help="answer a whole query batch in one job (one query per line)",
+    )
+    qm.add_argument("--kg-dir", required=True)
+    qm.add_argument("--queries-file", required=True,
+                    help="text file, one query per line; query_id = line number")
+    qm.add_argument("--mode", choices=["hybrid", "context"], default="hybrid")
+    qm.add_argument("--top-k", type=int, default=10)
+    qm.add_argument("--vector-weight", type=float, default=0.5)
+    qm.add_argument("--context-size", type=int, default=2)
 
     qp = sub.add_parser("query", help="query a built KG (reference: graphrag query)")
     qp.add_argument("query")
@@ -121,6 +170,9 @@ def main() -> None:
         sys.exit(2)
     if args.cmd == "query":
         _query_main(args)
+        return
+    if args.cmd == "query-many":
+        _query_many_main(args)
         return
 
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus

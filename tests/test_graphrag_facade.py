@@ -99,3 +99,40 @@ def test_query_many_matches_per_query_hybrid(kg):
     assert got == want
     # text column joined in
     assert all(r["text"] for r in rows)
+
+
+def test_query_many_context_mode_matches_per_query(kg):
+    """Batch context expansion: query_many(mode=context) must equal the
+    single-query context mode per query (same dedup/is_match/score)."""
+    queries = [("q0", "Who founded Globex Systems?"), ("q1", "Acme Corporation")]
+    many = kg.query_many(queries, top_k=3, mode="context", context_size=1)
+    got = {
+        (r["query_id"], r["chunk_id"], bool(r["is_match"]), round(r["score"], 9))
+        for r in many.collect()
+    }
+    want = set()
+    for qid, qtext in queries:
+        res = kg.query(qtext, mode="context", top_k=3, context_size=1)
+        for r in res["chunks"].collect():
+            want.add((qid, r["chunk_id"], bool(r["is_match"]), round(r["score"], 9)))
+    assert got == want and got
+
+
+def test_cli_query_many(kg, spark, monkeypatch, capsys, tmp_path):
+    """query-many verb: whole batch in one job, grouped rendering."""
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("Who founded Globex Systems?\nAcme Corporation\n")
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "query-many", "--kg-dir", kg._dir,
+         "--queries-file", str(qfile), "--top-k", "3"],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "BATCH QUERY RESULTS (2 queries" in out
+    assert "[q0] Who founded Globex Systems?" in out
+    assert "[q1] Acme Corporation" in out
+    assert "score=" in out
