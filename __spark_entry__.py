@@ -1143,6 +1143,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["hybrid_fusion_many_docs"] = hybrid_fusion_many_docs
 
+    def context_window_many_docs(spark, sf):
+        """Batch context expansion: two queries' match lists expanded in
+        one range self-join, per-query seen-chunk dedup."""
+        docs = _t(spark, sf, "documents")
+        chunks = docs.select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("source").alias("doc_id"),
+            F.col("doc_id").cast("int").alias("chunk_index"),
+            "text",
+        )
+        matches = docs.filter(F.col("doc_id") % 50 == 0).select(
+            F.lit("qa").alias("query_id"),
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            ((F.col("doc_id") * 48271) % 997 / F.lit(997.0)).alias("score"),
+        ).unionByName(
+            docs.filter(F.col("doc_id") % 70 == 0).select(
+                F.lit("qb").alias("query_id"),
+                F.col("doc_id").cast("string").alias("chunk_id"),
+                ((F.col("doc_id") * 31) % 991 / F.lit(991.0)).alias("score"),
+            )
+        )
+        out = retrieval.expand_context_many(matches, chunks, context_size=2)
+        return out.select(
+            "query_id",
+            "chunk_id",
+            F.col("doc_id").alias("source"),
+            "chunk_index",
+            F.col("is_match").cast("int").alias("is_match"),
+            F.round("score", 6).alias("score"),
+        )
+
+    q["context_window_many_docs"] = context_window_many_docs
+
     return q
 
 
@@ -1922,6 +1955,39 @@ def oracle_sql() -> dict[str, str]:
           FROM expanded
         )
         SELECT chunk_id, source, chunk_index, is_match, ROUND(score, 6) AS score
+        FROM ranked WHERE rn = 1
+    """
+
+    sqls["context_window_many_docs"] = """
+        WITH chunks AS (
+          SELECT CAST(doc_id AS VARCHAR) AS chunk_id, source,
+                 CAST(doc_id AS INT) AS chunk_index, text
+          FROM documents
+        ), matches AS (
+          SELECT 'qa' AS query_id, CAST(doc_id AS VARCHAR) AS chunk_id,
+                 (doc_id * 48271) % 997 / 997.0 AS score
+          FROM documents WHERE doc_id % 50 = 0
+          UNION ALL
+          SELECT 'qb', CAST(doc_id AS VARCHAR),
+                 (doc_id * 31) % 991 / 991.0
+          FROM documents WHERE doc_id % 70 = 0
+        ), m AS (
+          SELECT m.query_id, m.chunk_id AS match_chunk_id, c.source,
+                 c.chunk_index AS match_index, m.score
+          FROM matches m JOIN chunks c ON m.chunk_id = c.chunk_id
+        ), expanded AS (
+          SELECT m.query_id, c.chunk_id, c.source, c.chunk_index,
+                 m.match_chunk_id, m.score,
+                 CASE WHEN c.chunk_index = m.match_index THEN 1 ELSE 0 END AS is_match
+          FROM m JOIN chunks c ON m.source = c.source
+          WHERE abs(c.chunk_index - m.match_index) <= 2
+        ), ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, chunk_id
+                   ORDER BY is_match DESC, score DESC, match_chunk_id ASC) AS rn
+          FROM expanded
+        )
+        SELECT query_id, chunk_id, source, chunk_index, is_match,
+               ROUND(score, 6) AS score
         FROM ranked WHERE rn = 1
     """
 
