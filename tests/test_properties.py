@@ -90,3 +90,69 @@ def test_minhash_identity(text):
 def test_simhash_range(text):
     h = simhash_py(text)
     assert -(1 << 63) <= h < (1 << 63)
+
+
+def test_codes_within_radius_exact_ball():
+    """LSH probe enumeration: the radius-r ball around a code contains
+    exactly sum_{i<=r} C(bits,i) distinct codes, all within hamming r."""
+    from math import comb
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators.ann_index import (
+        _codes_within_radius,
+    )
+
+    for bits, radius, code in [(8, 1, 0), (8, 2, 0xA5), (6, 3, 0x2A)]:
+        ball = _codes_within_radius(code, bits, radius)
+        assert len(ball) == len(set(ball)) == sum(comb(bits, i) for i in range(radius + 1))
+        assert all(bin(c ^ code).count("1") <= radius and c < (1 << bits) for c in ball)
+
+
+def test_minhash_coeffs_memoized_and_deterministic():
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import dedup
+
+    a1, b1 = dedup._mh_coeffs(64)
+    a2, b2 = dedup._mh_coeffs(64)
+    assert a1 is a2 and b1 is b2  # lru_cache hit — hot path allocates once
+    assert (a1 >= 1).all() and (a1 < dedup._MH_P).all()
+
+
+def test_food_analysis_first_match_precedence():
+    """Rule-cascade property: for any path containing several keywords,
+    the FIRST matching rule wins (elif semantics of the reference)."""
+    import itertools
+
+    KW = ["salad", "cake", "grill", "fry", "fancy", "simple",
+          "healthy", "indulgent", "italian", "pasta", "mexican", "taco"]
+
+    def py_reference(path):
+        # straight port of food_analyzer.py:10-90 rule order
+        if "salad" in path: ing = ["lettuce", "tomato", "cucumber"]
+        elif "cake" in path: ing = ["flour", "sugar", "chocolate"]
+        else: ing = ["unknown_ingredient_1", "unknown_ingredient_2"]
+        if "grill" in path: tech = "grilling"
+        elif "fry" in path: tech = "frying"
+        else: tech = "unknown_technique"
+        if "healthy" in path or "salad" in path: nut = ["healthy", "low-calorie"]
+        elif "indulgent" in path or "cake" in path: nut = ["indulgent", "high-calorie"]
+        else: nut = ["balanced"]
+        if "italian" in path or "pasta" in path: cui = "Italian"
+        elif "mexican" in path or "taco" in path: cui = "Mexican"
+        else: cui = "Unknown Cuisine"
+        return ing, tech, nut, cui
+
+    # exhaustive over 2-keyword combos beats sampling here (fast, total)
+    paths = ["_".join(p) + ".jpg" for p in itertools.permutations(KW, 2)]
+    import tests.conftest  # noqa: F401  (session fixture not needed; spark via getOrCreate)
+    from pyspark.sql import SparkSession
+    from hybrid_graphrag_with_qdrant_neo4j_spark.functions import multimodal
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        spark = get_spark(app_name="tests", master="local[4]", shuffle_partitions=4)
+    df = spark.createDataFrame([(p,) for p in paths], "path string")
+    out = {r["path"]: r for r in multimodal.food_analysis(df).collect()}
+    for p in paths:
+        ing, tech, nut, cui = py_reference(p)
+        r = out[p]
+        assert (r["ingredients"], r["cooking_technique"],
+                r["nutritional_trends"], r["cuisine"]) == (ing, tech, nut, cui), p
