@@ -118,6 +118,80 @@ def ivf_index_topk(
     )
 
 
+def append_ivf_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign a NEW batch of vectors
+    against the EXISTING quantizer and append into the partitioned
+    layout.  The centroids are frozen (retraining would re-bucket the
+    whole table); a continuous ingest — e.g. the streaming foreachBatch
+    pipeline — calls this per micro-batch and queries stay pruned with
+    no rebuild.  Quantizer drift under distribution shift is handled by
+    a periodic full rewrite (write_ivf_index), the same
+    streaming-extraction / batch-consolidation split the KG pipeline
+    uses for entity canonicalization."""
+    spark = new_vectors.sparkSession
+    cunit = read_ivf_centroids(spark, path)
+    (
+        new_vectors.withColumn("_centroid", S._assign_udf(cunit)(F.col(emb_col)))
+        .write.mode("append")
+        .partitionBy("_centroid")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    num_shuffle_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction: incremental appends leave one file per
+    (batch x partition) — the classic operational debt of a partitioned
+    table under continuous ingest (at 100 TB it degrades scan planning
+    and open() overhead long before it degrades bytes).  Rewrites the
+    vectors table repartitioned BY the bucket key, so every bucket lands
+    in exactly one task -> exactly one file per bucket directory;
+    ``num_shuffle_partitions`` only caps rewrite parallelism.  Content
+    is unchanged (asserted by tests).  Returns {"files_before",
+    "files_after"}.
+
+    With Iceberg on the classpath this is `rewrite_data_files`; the
+    parquet form uses an atomic directory swap (write to _compact, then
+    rename) so a killed compaction leaves the original intact.  Caveat
+    of the parquet form: DataFrames planned over the OLD file listing
+    fail after the swap (fileNotExist) — re-read the path; Iceberg's
+    snapshot isolation is what removes this caveat in production.
+    """
+    vectors = os.path.join(path, "vectors")
+    tmp = os.path.join(path, "_compact")
+
+    def count_files(d: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(d):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = count_files(vectors)
+    df = spark.read.parquet(vectors)
+    n = num_shuffle_partitions or spark.sparkContext.defaultParallelism
+    (
+        df.repartition(n, F.col("_centroid"))
+        .write.mode("overwrite")
+        .partitionBy("_centroid")
+        .parquet(tmp)
+    )
+    import shutil
+
+    old = os.path.join(path, "_old_vectors")
+    os.rename(vectors, old)
+    os.rename(tmp, vectors)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": count_files(vectors)}
+
+
 # ---------------------------------------------------------------------------
 # Multi-table LSH index
 # ---------------------------------------------------------------------------

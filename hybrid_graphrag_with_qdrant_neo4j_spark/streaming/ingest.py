@@ -29,25 +29,56 @@ def start_incremental_ingest(
     checkpoint_dir: str,
     max_tokens: int = 200,
     pages_schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    ivf_index_dir: str | None = None,
+    ivf_k: int = 64,
 ):
     """readStream over arriving page files -> per-batch extract/chunk/
     term/triple appends.  Exactly-once per batch via the streaming
-    checkpoint (batch id tracked by the engine)."""
+    checkpoint (batch id tracked by the engine).
+
+    With ``ivf_index_dir``, each micro-batch also embeds its chunks and
+    maintains the write-time ANN index (operators.ann_index): the first
+    batch trains the quantizer and writes the bucketed layout, later
+    batches append against the FROZEN centroids — queries stay
+    partition-pruned with no rebuild (streaming maintenance + periodic
+    batch re-train, the same lambda split as entity canonicalization).
+    """
+    import os as _os
+
+    from ..functions import embedding as E
+    from ..operators import ann_index
+
     stream = (
         spark.readStream.schema(pages_schema).format("parquet").load(pages_glob)
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        p = pages_src.with_doc_id(pages_src.with_extracted_text(batch_df))
-        chunks = chunker.chunk_documents(p, max_tokens=max_tokens)
-        chunks.write.mode("append").parquet(f"{out_dir}/chunks")
-        en = chunks.filter(F.col("lang") == "en")
-        ngrams.term_chunk_edges(en).write.mode("append").parquet(
-            f"{out_dir}/term_chunk_edges"
-        )
-        triples_op.triples_raw(en).write.mode("append").parquet(
-            f"{out_dir}/triples_raw"
-        )
+        # persist: chunks feed up to four sinks per batch (chunk table,
+        # term edges, triples, index) — the extract+chunk UDF chain runs once
+        chunks = chunker.chunk_documents(
+            pages_src.with_doc_id(pages_src.with_extracted_text(batch_df)),
+            max_tokens=max_tokens,
+        ).persist()
+        try:
+            chunks.write.mode("append").parquet(f"{out_dir}/chunks")
+            en = chunks.filter(F.col("lang") == "en")
+            ngrams.term_chunk_edges(en).write.mode("append").parquet(
+                f"{out_dir}/term_chunk_edges"
+            )
+            triples_op.triples_raw(en).write.mode("append").parquet(
+                f"{out_dir}/triples_raw"
+            )
+            if ivf_index_dir:
+                emb = chunks.select(
+                    F.col("chunk_id").alias("vec_id"),
+                    E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
+                )
+                if _os.path.isdir(_os.path.join(ivf_index_dir, "centroids")):
+                    ann_index.append_ivf_index(emb, ivf_index_dir, id_col="vec_id")
+                else:
+                    ann_index.write_ivf_index(emb, ivf_index_dir, k=ivf_k)
+        finally:
+            chunks.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

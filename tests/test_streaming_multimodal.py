@@ -355,3 +355,75 @@ def test_food_analyzer_golden_values(spark):
     tax = multimodal.FOOD_TREND_TAXONOMY
     assert set(tax["categories"]) == {"ingredients", "diets", "cuisine_types", "presentation"}
     assert tax["trends"]["diets"] == ["vegan", "keto", "gluten-free"]
+
+
+def test_ivf_index_append_and_compact(spark, tmp_path):
+    """Incremental index maintenance: append a second batch against the
+    frozen quantizer (query covers both batches, still pruned), then
+    compaction collapses the per-batch small files to one per bucket
+    with identical content."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    first = emb.filter("vec_id < 400")
+    second = emb.filter("vec_id >= 400")
+    idx = str(tmp_path / "ivf")
+    cents = ann_index.write_ivf_index(first, idx, k=16, lloyd_iters=1)
+    ann_index.append_ivf_index(second, idx)
+
+    qvec = [float(v) for v in emb.filter("vec_id = 450").first()["embedding"]]
+    out = ann_index.ivf_index_topk(spark, idx, qvec, top_k=10, n_probe=4)
+    rows = [tuple(r) for r in out.collect()]
+    # the appended batch is queryable (vec_id 450 is its own nearest)
+    assert rows and rows[0][0] == 450
+    # equals recompute over the FULL table with the same frozen quantizer
+    direct = similarity.ivf_topk(emb, qvec, top_k=10, n_probe=4, centroids=cents)
+    assert rows == [tuple(r) for r in direct.collect()]
+
+    stats = ann_index.compact_ivf_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"], stats
+    # content identical after compaction
+    out2 = ann_index.ivf_index_topk(spark, idx, qvec, top_k=10, n_probe=4)
+    assert [tuple(r) for r in out2.collect()] == rows
+    # and the whole table survived the swap
+    n_all = spark.read.parquet(f"{idx}/vectors").count()
+    assert n_all == emb.count()
+
+
+def test_streaming_ingest_maintains_ivf_index(spark, tmp_path):
+    """Streaming index maintenance: batch 1 trains + writes the bucketed
+    index, batch 2 appends against the frozen quantizer; the index then
+    answers pruned queries over BOTH batches."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    os.makedirs(in_dir)
+    idx = str(tmp_path / "ivf")
+
+    corpus.pages_spark_df(spark, 15, partitions=2).write.mode("append").parquet(in_dir)
+    q = sing.start_incremental_ingest(
+        spark, in_dir, out_dir, ckpt, max_tokens=60, ivf_index_dir=idx, ivf_k=8
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{idx}/vectors").count()
+    assert n1 == spark.read.parquet(f"{out_dir}/chunks").count() > 0
+
+    corpus.pages_spark_df(spark, 10, start=15, partitions=2).write.mode(
+        "append"
+    ).parquet(in_dir)
+    q2 = sing.start_incremental_ingest(
+        spark, in_dir, out_dir, ckpt, max_tokens=60, ivf_index_dir=idx, ivf_k=8
+    )
+    q2.awaitTermination(300)
+    vecs = spark.read.parquet(f"{idx}/vectors")
+    n2 = vecs.count()
+    assert n2 == spark.read.parquet(f"{out_dir}/chunks").count() > n1
+
+    # a batch-2 chunk is findable through the pruned index (its own
+    # embedding ranks itself first)
+    probe = vecs.orderBy(F.desc("vec_id")).first()
+    out = ann_index.ivf_index_topk(
+        spark, idx, [float(v) for v in probe["embedding"]], top_k=3, n_probe=3
+    )
+    assert out.first()["vec_id"] == probe["vec_id"]
