@@ -102,6 +102,7 @@ def run_stage(
     fingerprint: str,
     compute: Callable[[], DataFrame],
     repartition: Optional[int] = None,
+    partition_by: Optional[list] = None,
 ) -> StageResult:
     """Compute-or-resume one pipeline stage.
 
@@ -131,11 +132,23 @@ def run_stage(
         namespace = os.environ.get("SPARK_GRAFT_ICEBERG_NS", "default")
         table = _iceberg_table_name(catalog, namespace, stage)
         spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
-        df.writeTo(table).createOrReplace()
+        writer = df.writeTo(table)
+        if partition_by:
+            from pyspark.sql import functions as _F
+
+            writer = writer.partitionedBy(*[_F.col(c) for c in partition_by])
+        writer.createOrReplace()
         out = spark.read.table(table)
         extra = {"iceberg_table": table, "snapshot_id": _latest_snapshot_id(spark, table)}
     else:
-        df.write.mode("overwrite").parquet(data_path)
+        w = df.write.mode("overwrite")
+        if partition_by:
+            # physical layout key (e.g. lang): downstream stages that
+            # filter on it get partition PRUNING — at 10^12 docs the
+            # en-only NER/triple stages never open non-en files
+            # (north_star "language-filtered partitions")
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_path)
         out = spark.read.parquet(data_path)
     n_rows = out.count()
     manifest = {

@@ -76,11 +76,18 @@ def build_kg(
             "url", "warc_ts", "doc_id", "text", "lang"
         )
 
-    text_df = stage("text", fp_pages, compute_text)
+    # text + chunks snapshots are laid out partitioned by lang
+    # (north_star "language-filtered partitions"): the en-only term and
+    # triple stages then PRUNE non-en files at the scan — at 10^12 docs
+    # the NER/triple extraction never opens the ~10% non-en bytes
+    text_df = stage("text", fp_pages, compute_text, partition_by=["lang"])
 
     fp_chunks = _fp("chunks", fp_pages, max_tokens)
     chunks_df = stage(
-        "chunks", fp_chunks, lambda: chunker.chunk_documents(text_df, max_tokens)
+        "chunks",
+        fp_chunks,
+        lambda: chunker.chunk_documents(text_df, max_tokens),
+        partition_by=["lang"],
     )
 
     fp_emb = _fp("embeddings", fp_chunks)

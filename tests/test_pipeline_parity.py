@@ -130,3 +130,36 @@ def test_iceberg_probe_and_conditional_write(spark, tmp_path):
         lambda: spark.range(5).toDF("id"),
     )
     assert sr.manifest.get("snapshot_id") is not None
+
+
+def test_lang_partitioned_stages_prune(spark, tmp_path):
+    """north_star 'language-filtered partitions': text/chunks snapshots
+    are written partitioned by lang, so the en-only stages' lang filter
+    lands in PartitionFilters (file pruning) instead of a row filter
+    over every file."""
+    import os as _os
+    from pyspark.sql import functions as F
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path / "kg")
+    pages = corpus.pages_spark_df(spark, 60, partitions=4)
+    res = build_kg(spark, pages, out, input_fingerprint="langpart:60", max_tokens=80)
+
+    # physical layout: lang=<v> directories exist
+    chunk_dirs = _os.listdir(_os.path.join(out, "chunks", "data"))
+    assert any(d.startswith("lang=en") for d in chunk_dirs), chunk_dirs
+
+    en = spark.read.parquet(_os.path.join(out, "chunks", "data")).filter(
+        F.col("lang") == "en"
+    )
+    plan = en._sc._jvm.PythonSQLUtils.explainString(
+        en._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1][:300], plan[-600:]
+
+    # row content unchanged by the layout (same counts as a fresh compute)
+    assert res.tables["chunks"].count() == spark.read.parquet(
+        _os.path.join(out, "chunks", "data")
+    ).count()
