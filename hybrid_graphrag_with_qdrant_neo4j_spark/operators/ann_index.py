@@ -143,28 +143,21 @@ def append_ivf_index(
     )
 
 
-def compact_ivf_index(
+def _compact_vectors(
     spark: SparkSession,
     path: str,
+    partition_cols: List[str],
     num_shuffle_partitions: int | None = None,
 ) -> dict:
-    """Small-file compaction: incremental appends leave one file per
-    (batch x partition) — the classic operational debt of a partitioned
-    table under continuous ingest (at 100 TB it degrades scan planning
-    and open() overhead long before it degrades bytes).  Rewrites the
-    vectors table repartitioned BY the bucket key, so every bucket lands
-    in exactly one task -> exactly one file per bucket directory;
-    ``num_shuffle_partitions`` only caps rewrite parallelism.  Content
-    is unchanged (asserted by tests).  Returns {"files_before",
-    "files_after"}.
-
-    With Iceberg on the classpath this is `rewrite_data_files`; the
-    parquet form uses an atomic directory swap (write to _compact, then
+    """Shared compaction core: rewrite vectors/ repartitioned BY the
+    bucket key(s), so every bucket lands in exactly one task -> exactly
+    one file per bucket directory; ``num_shuffle_partitions`` only caps
+    rewrite parallelism.  Atomic directory swap (write to _compact, then
     rename) so a killed compaction leaves the original intact.  Caveat
     of the parquet form: DataFrames planned over the OLD file listing
     fail after the swap (fileNotExist) — re-read the path; Iceberg's
-    snapshot isolation is what removes this caveat in production.
-    """
+    snapshot isolation (`rewrite_data_files`) removes this in
+    production.  Returns {"files_before", "files_after"}."""
     vectors = os.path.join(path, "vectors")
     tmp = os.path.join(path, "_compact")
 
@@ -178,9 +171,9 @@ def compact_ivf_index(
     df = spark.read.parquet(vectors)
     n = num_shuffle_partitions or spark.sparkContext.defaultParallelism
     (
-        df.repartition(n, F.col("_centroid"))
+        df.repartition(n, *[F.col(c) for c in partition_cols])
         .write.mode("overwrite")
-        .partitionBy("_centroid")
+        .partitionBy(*partition_cols)
         .parquet(tmp)
     )
     import shutil
@@ -190,6 +183,55 @@ def compact_ivf_index(
     os.rename(tmp, vectors)
     shutil.rmtree(old)
     return {"files_before": before, "files_after": count_files(vectors)}
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    path: str,
+    num_shuffle_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction for the IVF index: incremental appends
+    leave one file per (batch x partition) — the classic operational
+    debt of a partitioned table under continuous ingest (at 100 TB it
+    degrades scan planning and open() overhead long before it degrades
+    bytes).  Content is unchanged (asserted by tests)."""
+    return _compact_vectors(spark, path, ["_centroid"], num_shuffle_partitions)
+
+
+def append_lsh_index(
+    new_vectors: DataFrame,
+    path: str,
+    bits: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = S._ANN_SEED,
+) -> None:
+    """Incremental append for the multi-table LSH index: codes come from
+    the same seeded hyperplanes (no training state at all, so appends
+    never drift), exploded per table and appended into the (table, code)
+    layout."""
+    if dim is None:
+        dim = len(new_vectors.select(emb_col).first()[0])
+    coded = new_vectors.withColumn(
+        "_codes", S.hyperplane_buckets_udf(dim, bits, n_tables, seed)(F.col(emb_col))
+    )
+    (
+        coded.select(id_col, emb_col, F.posexplode("_codes").alias("_table", "_code"))
+        .write.mode("append")
+        .partitionBy("_table", "_code")
+        .parquet(os.path.join(path, "vectors"))
+    )
+
+
+def compact_lsh_index(
+    spark: SparkSession,
+    path: str,
+    num_shuffle_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction for the LSH index ((table, code) buckets)."""
+    return _compact_vectors(spark, path, ["_table", "_code"], num_shuffle_partitions)
 
 
 # ---------------------------------------------------------------------------

@@ -427,3 +427,32 @@ def test_streaming_ingest_maintains_ivf_index(spark, tmp_path):
         spark, idx, [float(v) for v in probe["embedding"]], top_k=3, n_probe=3
     )
     assert out.first()["vec_id"] == probe["vec_id"]
+
+
+def test_lsh_index_append_and_compact(spark, tmp_path):
+    """LSH index lifecycle: append uses the same seeded hyperplanes (no
+    training state -> no drift); query over both batches equals the
+    ad-hoc operator; compaction collapses per-batch files."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index, similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lsh")
+    ann_index.write_lsh_index(emb.filter("vec_id < 400"), idx, bits=8, n_tables=2)
+    ann_index.append_lsh_index(emb.filter("vec_id >= 400"), idx, bits=8, n_tables=2)
+
+    qvec = [float(v) for v in emb.filter("vec_id = 450").first()["embedding"]]
+    out = ann_index.lsh_index_topk(
+        spark, idx, qvec, top_k=5, bits=8, n_tables=2, hamming_radius=1
+    )
+    rows = [tuple(r) for r in out.collect()]
+    adhoc = similarity.ann_lsh_topk(
+        emb, qvec, top_k=5, bits=8, n_tables=2, hamming_radius=1
+    )
+    assert rows == [tuple(r) for r in adhoc.collect()] and rows[0][0] == 450
+
+    stats = ann_index.compact_lsh_index(spark, idx)
+    assert stats["files_after"] < stats["files_before"], stats
+    out2 = ann_index.lsh_index_topk(
+        spark, idx, qvec, top_k=5, bits=8, n_tables=2, hamming_radius=1
+    )
+    assert [tuple(r) for r in out2.collect()] == rows
