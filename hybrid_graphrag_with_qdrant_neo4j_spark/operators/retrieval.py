@@ -116,6 +116,7 @@ def vector_search_many(
     top_k: int = 10,
     id_col: str = "chunk_id",
     emb_col: str = "embedding",
+    max_queries_per_pass: int = 4096,
 ) -> DataFrame:
     """Batch twin of :func:`vector_search`: score EVERY query against the
     corpus in one scan.  ``queries`` is [(query_id, query_text)] or a
@@ -137,6 +138,25 @@ def vector_search_many(
 
     if isinstance(queries, DataFrame):
         queries = [(r[0], r[1]) for r in queries.collect()]
+    # the query matrix rides in the task closure (Q x dim float64):
+    # bound it so a huge evaluation set becomes several scans instead of
+    # a multi-GB closure (4096 x 768 x 8B ≈ 25 MB per pass)
+    if len(queries) > max_queries_per_pass:
+        parts = [
+            vector_search_many(
+                chunk_embeddings,
+                queries[i : i + max_queries_per_pass],
+                top_k=top_k,
+                id_col=id_col,
+                emb_col=emb_col,
+                max_queries_per_pass=max_queries_per_pass,
+            )
+            for i in range(0, len(queries), max_queries_per_pass)
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     qids = [str(qid) for qid, _ in queries]
     Q = np.stack(
         [tp.embed_text_py("query: " + qtext) for _, qtext in queries]

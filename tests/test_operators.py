@@ -452,3 +452,21 @@ def test_hybrid_fuse_many_equals_per_query(spark):
     # query b's vector side has equal min/max -> both rows normalized to 1.0
     b = {r["chunk_id"]: r for r in many.filter("query_id='b'").collect()}
     assert b["c1"]["vector_score"] == 1.0 and b["c3"]["vector_score"] == 1.0
+
+
+def test_vector_search_many_chunked_passes(spark):
+    """Query batches above the per-pass cap split into several scans and
+    union — identical rows to a single pass."""
+    import __spark_entry__ as em
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import retrieval
+
+    kg = em._kg_dir(spark)
+    emb = spark.read.parquet(f"{kg}/chunk_embeddings.parquet")
+    queries = [(f"q{i}", f"Globex Systems event number {i}") for i in range(7)]
+    one_pass = retrieval.vector_search_many(emb, queries, top_k=3)
+    chunked = retrieval.vector_search_many(
+        emb, queries, top_k=3, max_queries_per_pass=3
+    )
+    a = sorted((r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in one_pass.collect())
+    b = sorted((r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in chunked.collect())
+    assert a == b and len(a) == 21
