@@ -152,14 +152,32 @@ def _compact_vectors(
     """Shared compaction core: rewrite vectors/ repartitioned BY the
     bucket key(s), so every bucket lands in exactly one task -> exactly
     one file per bucket directory; ``num_shuffle_partitions`` only caps
-    rewrite parallelism.  Atomic directory swap (write to _compact, then
-    rename) so a killed compaction leaves the original intact.  Caveat
-    of the parquet form: DataFrames planned over the OLD file listing
-    fail after the swap (fileNotExist) — re-read the path; Iceberg's
-    snapshot isolation (`rewrite_data_files`) removes this in
-    production.  Returns {"files_before", "files_after"}."""
+    rewrite parallelism.
+
+    Crash semantics (ADVICE r3): the swap is two renames (vectors ->
+    _old_vectors, _compact -> vectors), NOT atomic — a kill between them
+    leaves no vectors/ dir.  Entry therefore self-heals: a leftover
+    _old_vectors with no vectors/ is renamed back (the original data was
+    never deleted before the second rename, so nothing is lost); stale
+    _old_vectors/_compact from any other interrupted run are removed so
+    the renames below cannot hit an existing destination.  A kill during
+    the rewrite itself only leaves a _compact dir that the next run
+    discards.  Iceberg's snapshot isolation (`rewrite_data_files`)
+    removes this whole dance in production.  Caveat of the parquet form:
+    DataFrames planned over the OLD file listing fail after the swap
+    (fileNotExist) — re-read the path.  Returns {"files_before",
+    "files_after"}."""
+    import shutil
+
     vectors = os.path.join(path, "vectors")
     tmp = os.path.join(path, "_compact")
+    old = os.path.join(path, "_old_vectors")
+    if not os.path.isdir(vectors) and os.path.isdir(old):
+        os.rename(old, vectors)  # prior compaction died between the renames
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # prior compaction died after swap, pre-cleanup
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # prior compaction died mid-rewrite
 
     def count_files(d: str) -> int:
         n = 0
@@ -176,9 +194,6 @@ def _compact_vectors(
         .partitionBy(*partition_cols)
         .parquet(tmp)
     )
-    import shutil
-
-    old = os.path.join(path, "_old_vectors")
     os.rename(vectors, old)
     os.rename(tmp, vectors)
     shutil.rmtree(old)

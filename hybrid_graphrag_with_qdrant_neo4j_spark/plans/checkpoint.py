@@ -44,11 +44,26 @@ def iceberg_available(spark: SparkSession) -> bool:
 
 def iceberg_catalog(spark: SparkSession) -> Optional[str]:
     """Name of a configured Iceberg catalog (spark.sql.catalog.<name> =
-    org.apache.iceberg.spark.SparkCatalog), or None."""
+    org.apache.iceberg.spark.SparkCatalog), or None.
+
+    Probes the RUNTIME SQL conf first (``SET`` lists every explicitly-set
+    SQL conf, including ``spark.conf.set`` calls made after session
+    start — ADVICE r3: ``sparkContext.getConf()`` only reflects
+    context-creation configs), then falls back to the static SparkConf."""
     if not iceberg_available(spark):
         return None
-    for k, v in spark.sparkContext.getConf().getAll():
-        if k.startswith("spark.sql.catalog.") and k.count(".") == 3 and "iceberg" in v.lower():
+    pairs: list = []
+    try:
+        pairs.extend((r[0], r[1]) for r in spark.sql("SET").collect())
+    except Exception:
+        pass
+    pairs.extend(spark.sparkContext.getConf().getAll())
+    for k, v in pairs:
+        if (
+            k.startswith("spark.sql.catalog.")
+            and k.count(".") == 3
+            and "iceberg" in str(v).lower()
+        ):
             return k.rsplit(".", 1)[1]
     return None
 
@@ -118,10 +133,20 @@ def run_stage(
     data_path = _data_path(out_dir, stage)
     if manifest is not None and manifest.get("fingerprint") == fingerprint:
         if manifest.get("iceberg_table"):
-            df = spark.read.table(manifest["iceberg_table"])
+            # resume fallback (ADVICE r3): a manifest recording an
+            # Iceberg table may be read back in a session whose catalog
+            # is no longer configured — fall back to the parquet
+            # data_path when present, else recompute (fall through)
+            try:
+                df = spark.read.table(manifest["iceberg_table"])
+                return StageResult(df=df, resumed=True, manifest=manifest)
+            except Exception:
+                if os.path.isdir(data_path):
+                    df = spark.read.parquet(data_path)
+                    return StageResult(df=df, resumed=True, manifest=manifest)
         else:
             df = spark.read.parquet(data_path)
-        return StageResult(df=df, resumed=True, manifest=manifest)
+            return StageResult(df=df, resumed=True, manifest=manifest)
 
     df = compute()
     if repartition:

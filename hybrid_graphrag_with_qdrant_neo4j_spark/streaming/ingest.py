@@ -68,7 +68,12 @@ def start_incremental_ingest(
             triples_op.triples_raw(en).write.mode("append").parquet(
                 f"{out_dir}/triples_raw"
             )
-            if ivf_index_dir:
+            # empty-batch guard (ADVICE r3): a batch yielding zero chunks
+            # before the index exists would send an empty table into
+            # ivf_train_centroids -> ValueError -> stream termination;
+            # defer training to the first non-empty batch (and skip the
+            # pointless empty append on later ones)
+            if ivf_index_dir and not chunks.isEmpty():
                 emb = chunks.select(
                     F.col("chunk_id").alias("vec_id"),
                     E.embed(F.col("text"), prefix="passage: ").alias("embedding"),

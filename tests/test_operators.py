@@ -179,6 +179,29 @@ def test_context_window_size_zero(spark, chain_chunks):
     assert [r["chunk_id"] for r in out.collect()] == ["d2_c1"]
 
 
+def test_context_window_join_is_banded(spark, chain_chunks):
+    """VERDICT r3 #6: the expansion join must carry the band equi-key
+    (doc_id, floor(chunk_index/(context+1))) so fan-out is bounded per
+    band — the plan's join condition shows _band, not doc_id alone."""
+    matches = spark.createDataFrame([("d1_c1", 1.0)], "chunk_id string, score double")
+    out = retrieval.expand_context(matches, chain_chunks, context_size=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_band" in plan, plan
+    # and banding changed nothing about the rows
+    ids = sorted(r["chunk_id"] for r in out.collect())
+    assert ids == ["d1_c0", "d1_c1", "d1_c2", "d1_c3"]
+
+    many = retrieval.expand_context_many(
+        spark.createDataFrame(
+            [("q1", "d1_c1", 1.0)], "query_id string, chunk_id string, score double"
+        ),
+        chain_chunks,
+        context_size=2,
+    )
+    assert "_band" in many._jdf.queryExecution().executedPlan().toString()
+    assert sorted(r["chunk_id"] for r in many.collect()) == ids
+
+
 # ---------------------------------------------------------------------------
 # Dedup: minhash estimate vs exact jaccard; simhash identity; salted = plain
 # ---------------------------------------------------------------------------

@@ -456,3 +456,34 @@ def test_lsh_index_append_and_compact(spark, tmp_path):
         spark, idx, qvec, top_k=5, bits=8, n_tables=2, hamming_radius=1
     )
     assert [tuple(r) for r in out2.collect()] == rows
+
+
+def test_compaction_recovers_from_killed_swap(spark, tmp_path):
+    """ADVICE r3: the compaction swap is two renames — simulate a kill
+    between them (vectors/ gone, _old_vectors present) and after the
+    swap (stale _old_vectors alongside vectors/); the next compaction
+    must self-heal both and still produce the compacted content."""
+    import os
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "ivf")
+    ann_index.write_ivf_index(emb.filter("vec_id < 300"), idx, k=8, lloyd_iters=1)
+    ann_index.append_ivf_index(emb.filter("vec_id >= 300"), idx)
+    n_total = spark.read.parquet(f"{idx}/vectors").count()
+
+    # crash window 1: killed between os.rename(vectors, old) and
+    # os.rename(tmp, vectors) -> no vectors/ at all
+    os.rename(f"{idx}/vectors", f"{idx}/_old_vectors")
+    stats = ann_index.compact_ivf_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/vectors").count() == n_total
+    assert not os.path.exists(f"{idx}/_old_vectors")
+    assert not os.path.exists(f"{idx}/_compact")
+
+    # crash window 2: killed after the swap, before rmtree(old) -> a
+    # stale _old_vectors would make os.rename raise on the next run
+    os.makedirs(f"{idx}/_old_vectors/junk")
+    os.makedirs(f"{idx}/_compact/junk")
+    ann_index.compact_ivf_index(spark, idx)
+    assert spark.read.parquet(f"{idx}/vectors").count() == n_total
+    assert not os.path.exists(f"{idx}/_old_vectors")
