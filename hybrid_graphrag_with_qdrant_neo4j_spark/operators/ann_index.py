@@ -118,6 +118,102 @@ def ivf_index_topk(
     )
 
 
+def ivf_index_topk_many(
+    spark: SparkSession,
+    path: str,
+    query_vecs,
+    top_k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    where=None,
+) -> DataFrame:
+    """Batch twin of :func:`ivf_index_topk`: N queries against the
+    materialized index in ONE pruned scan.
+
+    ``query_vecs`` is [(query_id, vector)].  Probe selection runs
+    driver-side against the K-row centroids table (a Q x K matvec); the
+    vectors scan is partition-pruned to the UNION of all probed buckets;
+    inside one mapInPandas pass each Arrow batch scores the (batch x Q)
+    cosine matrix and masks out rows whose bucket a given query did NOT
+    probe (so per-query results are identical to running
+    :func:`ivf_index_topk` per query); only each batch's local top-k per
+    query is emitted, so the shuffle into the global per-query rank
+    window carries at most batches x Q x k rows.
+
+    Returns (query_id, <id_col>, score) with the same 6-dp rounding and
+    (score desc, id asc) order contract as the single-query form."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    cunit = read_ivf_centroids(spark, path)
+    qids = [str(qid) for qid, _ in query_vecs]
+    Q = np.stack(
+        [np.asarray(v, dtype=np.float64) for _, v in query_vecs]
+    )
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    K = cunit.shape[0]
+    # probe matrix: probe_mask[cid, j] = query j probes centroid cid
+    probe_mask = np.zeros((K, len(qids)), dtype=bool)
+    for j in range(len(qids)):
+        for cid in S._probe_centroids(cunit, Q[j].tolist(), n_probe):
+            probe_mask[cid, j] = True
+    allowed = sorted(int(c) for c in np.flatnonzero(probe_mask.any(axis=1)))
+
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
+        F.col("_centroid").isin(allowed)
+    )
+    if where is not None:
+        vecs = vecs.filter(where)
+
+    out_schema = f"query_id string, {id_col} string, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+            cids = pdf["_centroid"].to_numpy().astype(np.int64)
+            num = M @ Q.T
+            en = np.sqrt((M * M).sum(axis=1))
+            denom = en[:, None] * qn[None, :]
+            Smat = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+            # a row only competes for queries that probed its bucket
+            Smat = np.where(probe_mask[cids, :], Smat, -np.inf)
+            ids = np.asarray(pdf[id_col].astype(str).to_numpy(), dtype=np.str_)
+            parts = []
+            for j, qid in enumerate(qids):
+                col = Smat[:, j]
+                live = np.flatnonzero(col > -np.inf)
+                if not len(live):
+                    continue
+                k = min(top_k, len(live))
+                if k < len(live):
+                    part = live[np.argpartition(-col[live], k - 1)]
+                    kth = col[part[k - 1]]
+                    cand = live[col[live] >= kth]
+                else:
+                    cand = live
+                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
+                parts.append(
+                    pd.DataFrame({"query_id": qid, id_col: ids[top], "score": col[top]})
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = vecs.select(
+        F.col(id_col).cast("string").alias(id_col), emb_col, "_centroid"
+    ).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .select("query_id", id_col, F.round("score", 6).alias("score"))
+    )
+
+
 def append_ivf_index(
     new_vectors: DataFrame,
     path: str,

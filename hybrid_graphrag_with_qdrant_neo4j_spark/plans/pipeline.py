@@ -24,10 +24,14 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+import json
+import os
+import time
+
 from ..operators import chunker, components, linking, ngrams, triples as triples_op
 from ..functions import embedding as E
 from ..sources import pages as pages_src
-from .checkpoint import run_stage
+from .checkpoint import load_manifest, run_stage, _manifest_path
 
 
 @dataclass
@@ -41,6 +45,61 @@ def _fp(*parts) -> str:
     return h[:24]
 
 
+ANN_INDEX_STAGE = "ann_index"
+
+
+def write_ann_index_stage(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    out_dir: str,
+    fingerprint: str,
+    family: str,
+    k: int = 64,
+    bits: int = 8,
+    n_tables: int = 4,
+    id_col: str = "chunk_id",
+) -> tuple:
+    """Materialize (or resume) the write-time ANN index over the chunk
+    embeddings as a pipeline stage (VERDICT r3 next-round #1 — the
+    reference builds its Qdrant index at upsert time,
+    qdrant_connection.py:67-86, so user queries never scan the
+    collection).  The index layout lives at ``out_dir/ann_index``
+    (operators.ann_index partitioned parquet), with the same
+    manifest/fingerprint resume contract as every other stage; the
+    manifest additionally records the family + query-relevant params so
+    the facade can open the index without being told how it was built."""
+    from ..operators import ann_index as AI
+
+    idx_dir = os.path.join(out_dir, ANN_INDEX_STAGE)
+    manifest = load_manifest(out_dir, ANN_INDEX_STAGE)
+    if (
+        manifest is not None
+        and manifest.get("fingerprint") == fingerprint
+        and os.path.isdir(os.path.join(idx_dir, "vectors"))
+    ):
+        return manifest, True
+    emb = embeddings.select(id_col, "embedding")
+    if family == "ivf":
+        AI.write_ivf_index(emb, idx_dir, k=k, id_col=id_col)
+    elif family == "lsh":
+        AI.write_lsh_index(emb, idx_dir, bits=bits, n_tables=n_tables, id_col=id_col)
+    else:
+        raise ValueError(f"unknown ann index family: {family!r} (ivf|lsh)")
+    manifest = {
+        "stage": ANN_INDEX_STAGE,
+        "fingerprint": fingerprint,
+        "family": family,
+        "id_col": id_col,
+        "params": {"k": k, "bits": bits, "n_tables": n_tables},
+        "completed_at_unix": int(time.time()),
+    }
+    tmp = _manifest_path(out_dir, ANN_INDEX_STAGE) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(manifest, fh, indent=2)
+    os.replace(tmp, _manifest_path(out_dir, ANN_INDEX_STAGE))
+    return manifest, False
+
+
 def build_kg(
     spark: SparkSession,
     pages: DataFrame,
@@ -50,6 +109,10 @@ def build_kg(
     num_partitions: int = 32,
     local_link_under: int = 10_000,
     link_bruteforce_under: int = 50_000,
+    ann_index: str | None = None,
+    ann_k: int = 64,
+    ann_bits: int = 8,
+    ann_tables: int = 4,
 ) -> KGBuildResult:
     """Run (or resume) the full pipeline; returns all materialized tables.
 
@@ -91,7 +154,7 @@ def build_kg(
     )
 
     fp_emb = _fp("embeddings", fp_chunks)
-    stage(
+    emb_df = stage(
         "chunk_embeddings",
         fp_emb,
         lambda: chunks_df.select(
@@ -102,6 +165,24 @@ def build_kg(
             E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
         ),
     )
+
+    if ann_index:
+        fp_ann = _fp("ann_index", fp_emb, ann_index, ann_k, ann_bits, ann_tables)
+        _man, resumed = write_ann_index_stage(
+            spark,
+            emb_df,
+            out_dir,
+            fp_ann,
+            family=ann_index,
+            k=ann_k,
+            bits=ann_bits,
+            n_tables=ann_tables,
+        )
+        if resumed:
+            result.resumed_stages.append(ANN_INDEX_STAGE)
+        result.tables[ANN_INDEX_STAGE] = spark.read.parquet(
+            os.path.join(out_dir, ANN_INDEX_STAGE, "vectors")
+        )
 
     en_chunks = chunks_df.filter(F.col("lang") == "en")
 

@@ -74,7 +74,7 @@ def _query_main(args) -> None:
     from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
 
     spark = get_spark(app_name="kg_query")
-    rag = GraphRAG(spark, args.kg_dir)
+    rag = GraphRAG(spark, args.kg_dir, n_probe=args.n_probe)
     out = rag.query(
         args.query,
         mode=args.mode,
@@ -97,7 +97,7 @@ def _query_many_main(args) -> None:
             if line.strip()
         ]
     spark = get_spark(app_name="kg_query_many")
-    rag = GraphRAG(spark, args.kg_dir)
+    rag = GraphRAG(spark, args.kg_dir, n_probe=args.n_probe)
     out = rag.query_many(
         queries,
         top_k=args.top_k,
@@ -134,6 +134,15 @@ def main() -> None:
     proc.add_argument("--max-tokens", type=int, default=200)
     proc.add_argument("--partitions", type=int, default=None)
     proc.add_argument("--seed", type=int, default=42)
+    proc.add_argument(
+        "--ann-index",
+        choices=["ivf", "lsh"],
+        default=None,
+        help="materialize a write-time ANN index over the chunk embeddings; "
+        "queries against this KG then read a partition-pruned scan "
+        "(reference: Qdrant index built at upsert)",
+    )
+    proc.add_argument("--ann-k", type=int, default=64, help="IVF centroid count")
 
     qm = sub.add_parser(
         "query-many",
@@ -146,6 +155,8 @@ def main() -> None:
     qm.add_argument("--top-k", type=int, default=10)
     qm.add_argument("--vector-weight", type=float, default=0.5)
     qm.add_argument("--context-size", type=int, default=2)
+    qm.add_argument("--n-probe", type=int, default=8,
+                    help="IVF buckets probed per query when the KG has an index")
 
     qp = sub.add_parser("query", help="query a built KG (reference: graphrag query)")
     qp.add_argument("query")
@@ -160,6 +171,8 @@ def main() -> None:
     qp.add_argument("--top-k", type=int, default=10)
     qp.add_argument("--vector-weight", type=float, default=0.5)
     qp.add_argument("--context-size", type=int, default=2)
+    qp.add_argument("--n-probe", type=int, default=8,
+                    help="IVF buckets probed per query when the KG has an index")
 
     argv = sys.argv[1:]
     if argv and argv[0].startswith("--"):  # legacy flat form == process
@@ -211,6 +224,8 @@ def main() -> None:
         input_fingerprint=fingerprint,
         max_tokens=args.max_tokens,
         num_partitions=partitions,
+        ann_index=args.ann_index,
+        ann_k=args.ann_k,
     )
     elapsed = time.perf_counter() - t0
     summary = {

@@ -66,6 +66,15 @@ def test_every_oracle_has_a_query():
     assert set(ORACLES.keys()) <= set(QUERIES.keys())
 
 
+def test_every_query_has_an_oracle_twin():
+    """VERDICT r3 next-round #9: the scoreboard reached 78/78 full
+    rows+schema+hash checks in round 3 — this pins it.  Any queries()
+    entry WITHOUT an oracle_sql() twin would silently downgrade to the
+    driver's weaker rows-only check; adding one now fails here until its
+    oracle lands."""
+    assert ROWS_ONLY == [], f"queries without oracle twins: {ROWS_ONLY}"
+
+
 # canonical type classes: Spark dtype string / DuckDB type string -> class.
 # Anything NOT in the map (HUGEINT, DECIMAL, ...) maps to itself and fails
 # the comparison — that is the point: DuckDB widening integer SUM to
