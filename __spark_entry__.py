@@ -1128,8 +1128,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qdf.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(_KG_DIR, "query_embs.parquet")
         )
+        # pass the batch as a DATAFRAME: exercises the distributed
+        # query-embedding path (VERDICT r3 #2) against the same oracle
+        qtext_df = spark.createDataFrame(
+            _BATCH_QUERIES, "query_id string, query_text string"
+        )
         out = retrieval.vector_search_many(
-            _kg(spark, "chunk_embeddings"), _BATCH_QUERIES, top_k=5
+            _kg(spark, "chunk_embeddings"), qtext_df, top_k=5
         )
         return out.select("query_id", "chunk_id", F.round("score", 6).alias("score"))
 

@@ -69,6 +69,110 @@ def _render_query_results(mode: str, out: dict, top_k: int) -> None:
     print()
 
 
+def _interactive_loop(rag, args, input_fn=None) -> None:
+    """Interactive query session mirroring the reference's prompt loop
+    (cli/main.py:361-445): exit/quit, help, ``set top_k|triplets|
+    context|context_size``, ``show settings``, anything else = a query.
+    ``input_fn`` is injectable so tests can drive the loop without a
+    tty (resolved at call time so a patched builtins.input is seen)."""
+    if input_fn is None:
+        input_fn = input
+    settings = {
+        # reference defaults: config.py:131-134 + run_interactive_session
+        "top_k": args.top_k,
+        "include_triplets": True,
+        "with_context": False,
+        "context_size": args.context_size,
+    }
+    print("\nGraphRAG Interactive Query Session")
+    print("Type 'exit' or 'quit' to end the session")
+    print("Type 'help' for available commands")
+    print("\nCurrent settings:")
+    for key, value in settings.items():
+        print(f"  {key}: {value}")
+
+    while True:
+        try:
+            user_input = input_fn("\nGraphRAG> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        user_input = (user_input or "").strip()
+        if not user_input:
+            continue
+        low = user_input.lower()
+        if low in ("exit", "quit"):
+            break
+        if low == "help":
+            print("\nAvailable commands:")
+            print("  <your question> - Query the GraphRAG system")
+            print("  set top_k <number> - Set number of top results")
+            print("  set triplets <on/off> - Include knowledge graph triplets")
+            print("  set context <on/off> - Include document context")
+            print("  set context_size <number> - Set number of context chunks")
+            print("  show settings - Display current settings")
+            print("  help - Show this help message")
+            print("  exit/quit - Exit the session")
+            continue
+        if low.startswith("set "):
+            parts = user_input.split(" ", 2)
+            if len(parts) >= 3:
+                setting, value = parts[1].lower(), parts[2].lower()
+                if setting == "top_k" and value.isdigit():
+                    settings["top_k"] = int(value)
+                    print(f"Set top_k to {value}")
+                elif setting == "triplets" and value in ("on", "off"):
+                    settings["include_triplets"] = value == "on"
+                    print(f"Set triplets to {value}")
+                elif setting == "context" and value in ("on", "off"):
+                    settings["with_context"] = value == "on"
+                    print(f"Set context to {value}")
+                elif setting == "context_size" and value.isdigit():
+                    settings["context_size"] = int(value)
+                    print(f"Set context_size to {value}")
+                else:
+                    print(f"Unknown setting or invalid value: {setting} {value}")
+            continue
+        if low == "show settings":
+            print("\nCurrent settings:")
+            for key, value in settings.items():
+                print(f"  {key}: {value}")
+            continue
+        try:
+            mode = (
+                "context"
+                if settings["with_context"]
+                else ("triplets" if settings["include_triplets"] else "hybrid")
+            )
+            out = rag.query(
+                user_input,
+                mode=mode,
+                top_k=settings["top_k"],
+                vector_weight=args.vector_weight,
+                context_size=settings["context_size"],
+            )
+            if settings["with_context"] and settings["include_triplets"]:
+                # the reference includes triplets alongside context
+                # chunks when both are on; stitch the triplet leg in
+                trip = rag.query(
+                    user_input, mode="triplets", top_k=settings["top_k"]
+                )["triplets"]
+                out["triplets"] = trip
+            _render_query_results(mode, out, settings["top_k"])
+        except Exception as e:  # reference loop survives bad queries
+            print(f"Error: {e}")
+    print("\nExiting GraphRAG interactive session.")
+
+
+def _interactive_main(args) -> None:
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+
+    spark = get_spark(app_name="kg_interactive")
+    rag = GraphRAG(spark, args.kg_dir, n_probe=args.n_probe)
+    _interactive_loop(rag, args)
+    spark.stop()
+
+
 def _query_main(args) -> None:
     from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
     from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
@@ -158,6 +262,16 @@ def main() -> None:
     qm.add_argument("--n-probe", type=int, default=8,
                     help="IVF buckets probed per query when the KG has an index")
 
+    ip = sub.add_parser(
+        "interactive",
+        help="interactive query session (reference: graphrag interactive)",
+    )
+    ip.add_argument("--kg-dir", required=True)
+    ip.add_argument("--top-k", type=int, default=10)
+    ip.add_argument("--vector-weight", type=float, default=0.5)
+    ip.add_argument("--context-size", type=int, default=2)
+    ip.add_argument("--n-probe", type=int, default=8)
+
     qp = sub.add_parser("query", help="query a built KG (reference: graphrag query)")
     qp.add_argument("query")
     qp.add_argument("--kg-dir", required=True, help="directory written by process")
@@ -186,6 +300,9 @@ def main() -> None:
         return
     if args.cmd == "query-many":
         _query_many_main(args)
+        return
+    if args.cmd == "interactive":
+        _interactive_main(args)
         return
 
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus

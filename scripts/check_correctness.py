@@ -113,7 +113,19 @@ def main() -> int:
 
     print(f"\n== {n_pass} pass / {n_hash} mismatch / {n_err} err / "
           f"{n_rows_only} rows-only (of {len(results)}) ==")
-    with open(os.path.join(REPO, "BENCH", "correctness_local.json"), "w") as f:
+    board = os.path.join(REPO, "BENCH", "correctness_local.json")
+    if only:
+        # subset run: MERGE into the full scoreboard instead of
+        # truncating it to the subset (r4 regression: a 7-query spot
+        # check overwrote the 78-entry board)
+        try:
+            with open(board) as f:
+                merged = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            merged = {}
+        merged.update(results)
+        results = merged
+    with open(board, "w") as f:
         json.dump(results, f, indent=1)
     spark.stop()
     return 1 if (n_hash or n_err) else 0

@@ -218,3 +218,41 @@ def test_indexed_build_resumes(kg_indexed, spark):
         max_tokens=80, ann_index="ivf", ann_k=8,
     )
     assert "ann_index" in res2.resumed_stages
+
+
+def test_interactive_session(kg, spark, monkeypatch, capsys):
+    """`run_pipeline.py interactive` (reference cli/main.py:361-445,
+    VERDICT r3 next-round #4): drive two queries, settings commands, and
+    exit through an injected stdin; rendered output mirrors the
+    reference's session."""
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter([
+        "help",
+        "show settings",
+        "set top_k 3",
+        "set context on",
+        "set context_size 1",
+        "set bogus nope",
+        "Who founded Globex Systems?",
+        "set context off",
+        "Acme Corporation",
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "interactive", "--kg-dir", kg._dir],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "GraphRAG Interactive Query Session" in out
+    assert "Available commands:" in out
+    assert "Set top_k to 3" in out
+    assert "Unknown setting or invalid value: bogus nope" in out
+    # context query rendered with MATCH/CONTEXT flags AND triplets
+    assert "MATCH" in out and "RELATED TRIPLETS" in out
+    # triplets-only query after context off
+    assert out.count("QUERY RESULTS:") == 2
+    assert "Exiting GraphRAG interactive session." in out

@@ -493,3 +493,55 @@ def test_vector_search_many_chunked_passes(spark):
     a = sorted((r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in one_pass.collect())
     b = sorted((r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in chunked.collect())
     assert a == b and len(a) == 21
+
+
+# ---------------------------------------------------------------------------
+# DataFrame-native batch query processing (VERDICT r3 #2)
+# ---------------------------------------------------------------------------
+
+def test_queries_to_terms_dataframe_equals_list(spark):
+    qs = [("q0", "Spark joins and windows"), ("q1", "The Quick Brown Fox")]
+    as_list = {
+        (r["query_id"], r["term"], r["score"])
+        for r in retrieval.queries_to_terms(spark, qs).collect()
+    }
+    qdf = spark.createDataFrame(qs, "query_id string, query_text string")
+    as_df = {
+        (r["query_id"], r["term"], r["score"])
+        for r in retrieval.queries_to_terms(spark, qdf).collect()
+    }
+    assert as_df == as_list and as_df
+
+
+def test_vector_search_many_dataframe_equals_list(spark):
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+
+    texts = [f"passage about topic {i} and spark shuffles" for i in range(30)]
+    emb = spark.createDataFrame(
+        [(f"c{i}", tp.embed_text_py("passage: " + t)) for i, t in enumerate(texts)],
+        "chunk_id string, embedding array<float>",
+    )
+    # embed real text both ways: list path and DataFrame path must agree
+    qs = [("q0", "spark shuffle"), ("q1", "stream window join")]
+    as_list = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9))
+        for r in retrieval.vector_search_many(emb, qs, top_k=5).collect()
+    }
+    qdf = spark.createDataFrame(qs, "query_id string, query_text string")
+    as_df = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9))
+        for r in retrieval.vector_search_many(emb, qdf, top_k=5).collect()
+    }
+    assert as_df == as_list and as_df
+
+
+def test_queries_entity_candidates_distributed(spark):
+    qdf = spark.createDataFrame(
+        [("q0", "Who founded Globex Systems?"), ("q1", "acme lowercase only"),
+         ("q2", "Acme Corporation and Acme Corporation")],
+        "query_id string, query_text string",
+    )
+    rows = {(r["query_id"], r["entity_name"])
+            for r in retrieval.queries_entity_candidates(qdf).collect()}
+    assert rows == {("q0", "who"), ("q0", "globex systems"),
+                    ("q2", "acme corporation")}
