@@ -112,6 +112,60 @@ def similarity_pairs(
     )
 
 
+def incremental_similarity_pairs(
+    new_entities: DataFrame,
+    all_entities: DataFrame,
+    threshold: float = LINK_THRESHOLD,
+    num_bands: int = DEFAULT_BANDS,
+    bits: int = DEFAULT_BITS,
+    dim: int = E.EMBED_DIM,
+) -> DataFrame:
+    """Candidate pairs TOUCHING a new entity: block the (small) new-name
+    side against the full table instead of re-running the n x n self-join
+    per ingest batch (VERDICT r3 next-round #5 — incremental linking).
+
+    Same seeded hyperplanes / band structure / exact cosine re-check as
+    :func:`similarity_pairs`, so a pair found here is exactly the pair
+    the full rebuild would find; pairs among untouched existing names
+    are (correctly) not re-derived — their components are already
+    collapsed in the entities table.  At 10^12 scale the existing side's
+    signatures are precomputed at write time (a column of the entities
+    table); here they are recomputed in one Arrow pass over the scan.
+
+    Returns pairs(name_a, name_b), name_a < name_b, >=1 new endpoint."""
+    sig = _signature_udf(dim, num_bands, bits)
+
+    def with_sigs(df, prefix):
+        return df.withColumn("sig", sig(F.col("embedding"))).select(
+            F.col("name").alias(f"{prefix}_name"),
+            F.col("embedding").alias(f"{prefix}_emb"),
+            F.posexplode("sig").alias(f"{prefix}_band", f"{prefix}_sig"),
+        )
+
+    n = with_sigs(new_entities, "n")
+    a = with_sigs(all_entities, "a")
+    cand = (
+        n.join(
+            a,
+            (F.col("n_band") == F.col("a_band"))
+            & (F.col("n_sig") == F.col("a_sig"))
+            & (F.col("n_name") != F.col("a_name")),
+        )
+        .select(
+            F.least("n_name", "a_name").alias("name_a"),
+            F.greatest("n_name", "a_name").alias("name_b"),
+            F.col("n_emb").alias("emb_a"),
+            F.col("a_emb").alias("emb_b"),
+        )
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    return (
+        cand.withColumn("cos", E.cosine_pairs_udf(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("name_a", "name_b")
+    )
+
+
 def similarity_pairs_bruteforce(
     entities: DataFrame, threshold: float = LINK_THRESHOLD
 ) -> DataFrame:

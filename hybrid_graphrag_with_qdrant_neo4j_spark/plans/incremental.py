@@ -1,0 +1,298 @@
+"""Incremental KG maintenance: append a page batch to a built KG without
+a full rebuild (VERDICT r3 next-round #5).
+
+The streaming side already appends chunks/terms/triples and maintains
+the ANN index per micro-batch (streaming.ingest); this closes the loop
+for the GRAPH side.  Per batch:
+
+  1. extraction stages run on the NEW pages only (shared stage
+     functions — extract, chunk, embed, n-gram, triples, mentions) and
+     append to the existing snapshots;
+  2. entity linking runs INCREMENTALLY: only names never seen before
+     are blocked against the table (operators.linking.
+     incremental_similarity_pairs), existing components are CONTRACTED
+     to their canonical id, and connected components runs on the tiny
+     (new names + touched canonicals) graph — never on the full entity
+     set;
+  3. the edges table is rewritten only for the TOUCHED components: rows
+     whose endpoints belong to a component whose canonical changed are
+     remapped; every other row passes through untouched; the batch's
+     own triples are canonicalized with the updated mapping and
+     appended.
+
+Correctness invariant (tested): after append_batch, entities/edges are
+SET-EQUAL to a full build_kg over the concatenated pages — the min-name
+canonical rule makes the incremental contraction exact, because an old
+component's canonical IS its minimum member, so the group minimum over
+{touched canonicals + new names} equals the minimum over the full
+merged membership.
+
+Scale notes: the contracted CC graph is O(batch alias pairs), not O(all
+entities); the edges rewrite is a scan with a broadcast relabel map
+(at 10^12 scale the same statement is an Iceberg MERGE that touches
+only matched files); parquet snapshots are swapped via localCheckpoint
+(can't overwrite a path being read) where Iceberg would commit a new
+snapshot.  Reference analogue: the reference re-runs its per-file
+pipeline per ingest call and cross-products entities again
+(cli/main.py:115-156, triplets.py:372-398) — there is no incremental
+path to port; this is the set-oriented equivalent a continuous crawl
+needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import chunker, components, linking, ngrams, triples as triples_op
+from ..functions import embedding as E
+from ..sources import pages as pages_src
+from .checkpoint import _data_path, _manifest_path, load_manifest
+from .pipeline import ANN_INDEX_STAGE
+
+
+def _append(df: DataFrame, out_dir: str, stage: str, partition_by=None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(_data_path(out_dir, stage))
+
+
+def _bump_manifest(out_dir: str, stage: str, batch_id: str, n_rows_delta: int) -> None:
+    """Mark a stage's snapshot as diverged from its batch fingerprint:
+    a later build_kg resume must RECOMPUTE (fingerprint mismatch) rather
+    than silently reuse a table the batch pipeline didn't produce."""
+    man = load_manifest(out_dir, stage) or {"stage": stage}
+    man["fingerprint"] = f"{man.get('fingerprint', '')}+append:{batch_id}"
+    man["n_rows"] = int(man.get("n_rows", 0)) + int(n_rows_delta)
+    path = _manifest_path(out_dir, stage)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path + ".tmp", "w", encoding="utf-8") as fh:
+        json.dump(man, fh, indent=2)
+    os.replace(path + ".tmp", path)
+
+
+def append_batch(
+    spark: SparkSession,
+    kg_dir: str,
+    new_pages: DataFrame,
+    batch_id: str,
+    max_tokens: int = 200,
+    num_partitions: int = 32,
+) -> dict:
+    """Append ``new_pages`` into the KG at ``kg_dir``; returns stats:
+
+      {"n_pages", "n_chunks", "n_new_entities", "n_relabeled_components",
+       "n_edges_touched", "n_edges_appended", "ann_index_appended"}
+    """
+    stats: dict = {}
+
+    # ---- 1. extraction stages over the new batch only ----------------
+    p = pages_src.repartition_by_url(new_pages, num_partitions)
+    text_b = pages_src.with_doc_id(
+        pages_src.with_extracted_text(p, out_col="text")
+    ).select("url", "warc_ts", "doc_id", "text", "lang")
+    chunks_b = chunker.chunk_documents(text_b, max_tokens).persist()
+    en_b = chunks_b.filter(F.col("lang") == "en")
+    triples_b = triples_op.triples_raw(en_b).persist()
+    emb_b = chunks_b.select(
+        "chunk_id",
+        "doc_id",
+        "chunk_index",
+        F.substring("text", 1, 1000).alias("text"),
+        E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
+    )
+
+    stats["n_pages"] = text_b.count()
+    stats["n_chunks"] = chunks_b.count()
+    _append(text_b, kg_dir, "text", partition_by=["lang"])
+    _append(chunks_b, kg_dir, "chunks", partition_by=["lang"])
+    _append(emb_b, kg_dir, "chunk_embeddings")
+    terms_b = ngrams.term_chunk_edges(en_b)
+    _append(terms_b, kg_dir, "term_chunk_edges")
+    _append(triples_b, kg_dir, "triples_raw")
+    _append(triples_op.mentions(triples_b), kg_dir, "mentions")
+    for stage, delta in (
+        ("text", stats["n_pages"]),
+        ("chunks", stats["n_chunks"]),
+        ("chunk_embeddings", stats["n_chunks"]),
+    ):
+        _bump_manifest(kg_dir, stage, batch_id, delta)
+    for stage in ("term_chunk_edges", "triples_raw", "mentions"):
+        _bump_manifest(kg_dir, stage, batch_id, 0)
+
+    # ---- 2. incremental entity linking -------------------------------
+    existing = spark.read.parquet(_data_path(kg_dir, "entities"))
+    batch_ents = linking.entity_nodes(triples_b).persist()
+    new_ents = batch_ents.join(
+        existing.select("name"), "name", "left_anti"
+    ).persist()
+    n_new = new_ents.count()
+    stats["n_new_entities"] = n_new
+
+    if n_new:
+        union_ents = existing.select("name", "embedding").unionByName(new_ents)
+        pairs_new = linking.incremental_similarity_pairs(new_ents, union_ents)
+        _append(pairs_new, kg_dir, "entity_pairs")
+        _bump_manifest(kg_dir, "entity_pairs", batch_id, 0)
+        # contract existing components to their canonical id: CC then
+        # runs on {new names} ∪ {touched canonicals} only
+        old_map = existing.select("name", "canonical_id")
+        contracted = (
+            pairs_new.join(
+                old_map.withColumnRenamed("name", "name_a").withColumnRenamed(
+                    "canonical_id", "_ca"
+                ),
+                "name_a",
+                "left",
+            )
+            .join(
+                old_map.withColumnRenamed("name", "name_b").withColumnRenamed(
+                    "canonical_id", "_cb"
+                ),
+                "name_b",
+                "left",
+            )
+            .select(
+                F.coalesce("_ca", F.col("name_a")).alias("a"),
+                F.coalesce("_cb", F.col("name_b")).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+        )
+        cc = components.connected_components(contracted, src="a", dst="b").select(
+            F.col("name").alias("node"), F.col("canonical_id").alias("new_label")
+        )
+        # localCheckpoint (eager) on everything whose lineage reads the
+        # entities snapshot: steps 3-4 OVERWRITE that snapshot, and a
+        # merely-persisted plan can re-evaluate against the new file
+        # (observed: relabel went empty after the entities rewrite and
+        # the edges remap silently became a no-op)
+        # new-name mapping: group minimum, or self for singletons
+        new_mapping = (
+            new_ents.select("name")
+            .join(cc, new_ents.name == cc.node, "left")
+            .select("name", F.coalesce("new_label", F.col("name")).alias("canonical_id"))
+            .localCheckpoint()
+        )
+        # old components whose canonical changed (their min lost to a
+        # smaller member arriving in this batch)
+        relabel = (
+            cc.join(
+                existing.select(
+                    F.col("canonical_id").alias("node")
+                ).dropDuplicates(["node"]),
+                "node",
+                "left_semi",
+            )
+            .filter(F.col("node") != F.col("new_label"))
+            .select(F.col("node").alias("old_canonical"), "new_label")
+            .localCheckpoint()
+        )
+        n_relabel = relabel.count()
+    else:
+        new_mapping = spark.createDataFrame([], "name string, canonical_id string")
+        relabel = spark.createDataFrame(
+            [], "old_canonical string, new_label string"
+        )
+        n_relabel = 0
+    stats["n_relabeled_components"] = n_relabel
+
+    # ---- 3. entities table: remap touched rows, add new rows ----------
+    ents_updated = (
+        existing.join(
+            F.broadcast(relabel),
+            existing.canonical_id == relabel.old_canonical,
+            "left",
+        )
+        .select(
+            "name",
+            F.coalesce("new_label", existing.canonical_id).alias("canonical_id"),
+            "embedding",
+        )
+    )
+    ents_new_rows = new_ents.join(new_mapping, "name").select(
+        "name", "canonical_id", "embedding"
+    )
+    # localCheckpoint: the plan reads the same parquet path it is about
+    # to overwrite — materialize first (Iceberg's snapshot commit would
+    # make this a metadata-only concern)
+    entities_final = ents_updated.unionByName(ents_new_rows).localCheckpoint()
+    entities_final.write.mode("overwrite").parquet(_data_path(kg_dir, "entities"))
+    _bump_manifest(kg_dir, "entities", batch_id, n_new)
+
+    # ---- 4. edges: rewrite ONLY the touched components ----------------
+    old_edges = spark.read.parquet(_data_path(kg_dir, "edges"))
+    t_s = relabel.select(
+        F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
+    )
+    t_o = relabel.select(
+        F.col("old_canonical").alias("obj_id"), F.col("new_label").alias("_no")
+    )
+    rewritten = (
+        old_edges.join(F.broadcast(t_s), "subj_id", "left")
+        .join(F.broadcast(t_o), "obj_id", "left")
+        .withColumn("_touched", F.col("_ns").isNotNull() | F.col("_no").isNotNull())
+    )
+    stats["n_edges_touched"] = rewritten.filter("_touched").count()
+    old_final = rewritten.select(
+        F.coalesce("_ns", F.col("subj_id")).alias("subj_id"),
+        "pred",
+        F.coalesce("_no", F.col("obj_id")).alias("obj_id"),
+        "chunk_id",
+        "url",
+    )
+    # batch triples canonicalized against the UPDATED mapping (restricted
+    # to names that appear in the batch — small, broadcast-able).  Built
+    # from entities_final — already checkpointed, so this cannot race
+    # with the entities overwrite above.
+    batch_names = batch_ents.select("name")
+    mapping_batch = entities_final.select("name", "canonical_id").join(
+        F.broadcast(batch_names), "name", "left_semi"
+    )
+    edges_b = components.canonical_edges(
+        triples_b, mapping_batch, n_entities=batch_ents.count()
+    )
+    stats["n_edges_appended"] = edges_b.count()
+    edges_final = (
+        old_final.unionByName(edges_b)
+        # relabeling can collapse two old rows onto the same key
+        .groupBy("subj_id", "pred", "obj_id", "chunk_id")
+        .agg(F.first("url").alias("url"))
+        .localCheckpoint()
+    )
+    edges_final.write.mode("overwrite").parquet(_data_path(kg_dir, "edges"))
+    _bump_manifest(kg_dir, "edges", batch_id, stats["n_edges_appended"])
+
+    # ---- 5. ANN index maintenance ------------------------------------
+    ann_man = load_manifest(kg_dir, ANN_INDEX_STAGE)
+    stats["ann_index_appended"] = False
+    if ann_man is not None and os.path.isdir(
+        os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors")
+    ):
+        from ..operators import ann_index as AI
+
+        id_col = ann_man.get("id_col", "chunk_id")
+        vecs = emb_b.select(F.col("chunk_id").alias(id_col), "embedding")
+        if ann_man.get("family") == "ivf":
+            AI.append_ivf_index(
+                vecs, os.path.join(kg_dir, ANN_INDEX_STAGE), id_col=id_col
+            )
+        else:
+            params = ann_man.get("params", {})
+            AI.append_lsh_index(
+                vecs,
+                os.path.join(kg_dir, ANN_INDEX_STAGE),
+                bits=params.get("bits", 8),
+                n_tables=params.get("n_tables", 4),
+                id_col=id_col,
+            )
+        stats["ann_index_appended"] = True
+
+    for df in (chunks_b, triples_b, batch_ents, new_ents, relabel):
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    return stats

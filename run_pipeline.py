@@ -173,6 +173,36 @@ def _interactive_main(args) -> None:
     spark.stop()
 
 
+def _append_main(args) -> None:
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import append_batch
+
+    spark = get_spark(app_name="kg_append")
+    partitions = args.partitions or spark.sparkContext.defaultParallelism
+    if args.input:
+        new_pages = spark.read.parquet(args.input)
+        batch_id = args.batch_id or f"input:{os.path.basename(args.input.rstrip('/'))}"
+    else:
+        new_pages = corpus.pages_spark_df(
+            spark, args.pages, seed=args.seed, partitions=partitions,
+            start=args.start,
+        )
+        batch_id = args.batch_id or f"corpus:{args.start}+{args.pages}:{args.seed}"
+    t0 = time.perf_counter()
+    stats = append_batch(
+        spark,
+        args.kg_dir,
+        new_pages,
+        batch_id=batch_id,
+        max_tokens=args.max_tokens,
+        num_partitions=partitions,
+    )
+    stats["elapsed_sec"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(stats, indent=2))
+    spark.stop()
+
+
 def _query_main(args) -> None:
     from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
     from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
@@ -262,6 +292,23 @@ def main() -> None:
     qm.add_argument("--n-probe", type=int, default=8,
                     help="IVF buckets probed per query when the KG has an index")
 
+    app = sub.add_parser(
+        "append",
+        help="append a page batch to a built KG with incremental entity "
+        "linking (no full rebuild)",
+    )
+    app.add_argument("--kg-dir", required=True)
+    app.add_argument("--input", help="parquet dir of new pages (input_hint schema)")
+    app.add_argument("--pages", type=int, default=1000,
+                     help="synthetic batch size (generated AFTER the ids of "
+                     "--start, for disjoint urls)")
+    app.add_argument("--start", type=int, default=0,
+                     help="synthetic corpus offset of the batch")
+    app.add_argument("--batch-id", default=None)
+    app.add_argument("--max-tokens", type=int, default=200)
+    app.add_argument("--partitions", type=int, default=None)
+    app.add_argument("--seed", type=int, default=42)
+
     ip = sub.add_parser(
         "interactive",
         help="interactive query session (reference: graphrag interactive)",
@@ -303,6 +350,9 @@ def main() -> None:
         return
     if args.cmd == "interactive":
         _interactive_main(args)
+        return
+    if args.cmd == "append":
+        _append_main(args)
         return
 
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus

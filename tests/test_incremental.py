@@ -1,0 +1,140 @@
+"""Incremental KG maintenance (VERDICT r3 next-round #5): a second page
+batch appends through incremental entity linking — CC runs only on the
+contracted (new names + touched canonicals) graph, the edges table is
+remapped only for touched components, and the final tables are SET-EQUAL
+to a full rebuild over the concatenated pages."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import append_batch
+from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+
+# the long shared prefix keeps cosine(alias, canonical) = 0.981 >= 0.96
+# under the hash embedder; the batch-2 surface sorts lexicographically
+# BEFORE batch 1's, so the merge must RELABEL batch 1's component and
+# rewrite its existing edges (the hard case; an alias sorting after the
+# old canonical leaves old edges untouched)
+_ENT_OLD = "Global Amalgamated Consolidated Industries Incorporatedx"
+_ENT_NEW = "Global Amalgamated Consolidated Industries Incorporated"
+
+
+def _page(i, sentence):
+    html = (
+        "<html><head><title>t</title></head><body><p>"
+        + sentence
+        + " </p></body></html>"
+    ).encode()
+    return (f"https://inc.example/p/{i}", None, html, sentence, "en")
+
+
+def _pages_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def batches(spark):
+    batch1 = _pages_df(spark, [
+        _page(0, f"Dana Fox founded {_ENT_OLD} in 1999."),
+        _page(1, f"{_ENT_OLD} partnered with Acme Corporation on a joint venture."),
+        _page(2, "Erin Cole founded Globex Systems in 1999."),
+    ])
+    batch2 = _pages_df(spark, [
+        _page(10, f"Dana Fox founded {_ENT_NEW} in 1999."),
+        _page(11, "Globex Systems partnered with Initech Group on a joint venture."),
+    ])
+    return batch1, batch2
+
+
+def _table_sets(spark, kg_dir):
+    ents = {
+        (r["name"], r["canonical_id"])
+        for r in spark.read.parquet(f"{kg_dir}/entities/data").collect()
+    }
+    edges = {
+        (r["subj_id"], r["pred"], r["obj_id"], r["chunk_id"])
+        for r in spark.read.parquet(f"{kg_dir}/edges/data").collect()
+    }
+    return ents, edges
+
+
+def test_append_batch_equals_full_rebuild(spark, tmp_path, batches):
+    batch1, batch2 = batches
+    inc_dir = str(tmp_path / "inc")
+    build_kg(spark, batch1, inc_dir, input_fingerprint="b1", ann_index="ivf", ann_k=4)
+    n_vec_before = spark.read.parquet(f"{inc_dir}/ann_index/vectors").count()
+
+    stats = append_batch(spark, inc_dir, batch2, batch_id="b2")
+
+    # the alias merged INTO batch 2's lexicographically-smaller surface:
+    # exactly one old component relabeled, its existing edges rewritten
+    assert stats["n_new_entities"] >= 1
+    assert stats["n_relabeled_components"] == 1
+    assert stats["n_edges_touched"] >= 1
+    assert stats["ann_index_appended"] is True
+
+    # ground truth: full rebuild over the concatenated pages
+    full_dir = str(tmp_path / "full")
+    build_kg(
+        spark, batch1.unionByName(batch2), full_dir, input_fingerprint="b12"
+    )
+    want_ents, want_edges = _table_sets(spark, full_dir)
+    got_ents, got_edges = _table_sets(spark, inc_dir)
+    assert got_ents == want_ents
+    assert got_edges == want_edges
+
+    # the merged entity canonicalizes to the batch-2 surface everywhere
+    low_new = _ENT_NEW.lower()
+    low_old = _ENT_OLD.lower()
+    assert (low_old, low_new) in got_ents and (low_new, low_new) in got_ents
+    assert not any(s == low_old or o == low_old for s, _, o, _ in got_edges)
+
+    # untouched component (erin cole/globex) survived byte-identical
+    assert any(s == "erin cole" for s, _, _, _ in got_edges)
+
+    # ANN index grew by the batch's chunks and answers over both batches
+    n_vec_after = spark.read.parquet(f"{inc_dir}/ann_index/vectors").count()
+    assert n_vec_after == n_vec_before + stats["n_chunks"]
+    rag = GraphRAG(spark, inc_dir, n_probe=4)
+    hits = rag.vector_chunks("Initech Group joint venture", top_k=5).collect()
+    assert hits
+
+
+def test_append_noop_batch_keeps_tables(spark, tmp_path, batches):
+    """A batch introducing no new entities leaves entities unchanged and
+    only appends its own edges."""
+    batch1, _ = batches
+    kg = str(tmp_path / "noop")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    ents_before, edges_before = _table_sets(spark, kg)
+    repeat = _pages_df(
+        spark, [_page(20, "Erin Cole founded Globex Systems in 1999.")]
+    )
+    stats = append_batch(spark, kg, repeat, batch_id="rep")
+    assert stats["n_new_entities"] == 0
+    assert stats["n_relabeled_components"] == 0
+    assert stats["n_edges_touched"] == 0
+    ents_after, edges_after = _table_sets(spark, kg)
+    assert ents_after == ents_before
+    assert edges_before <= edges_after
+    assert len(edges_after) == len(edges_before) + stats["n_edges_appended"]
+
+
+def test_append_invalidates_stage_fingerprints(spark, tmp_path, batches):
+    """After an append, a resume-with-original-fingerprint must NOT reuse
+    the diverged snapshots (manifest fingerprints are bumped)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.checkpoint import load_manifest
+
+    batch1, batch2 = batches
+    kg = str(tmp_path / "fp")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    fp_before = load_manifest(kg, "edges")["fingerprint"]
+    append_batch(spark, kg, batch2, batch_id="b2")
+    man = load_manifest(kg, "edges")
+    assert man["fingerprint"] == f"{fp_before}+append:b2"
