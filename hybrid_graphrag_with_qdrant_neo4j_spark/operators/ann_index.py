@@ -95,14 +95,18 @@ def ivf_index_topk(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     where=None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Query the materialized IVF index: probe-centroid selection happens
     driver-side against the K-row centroids table; the vectors scan is
     partition-PRUNED to the probed buckets (the filter is on a partition
     column, so non-probed files are never opened); exact cosine rerank +
     TakeOrderedAndProject finish it.  ``where`` = payload filter, pushed
-    into the same pruned scan (composes with partition pruning)."""
-    cunit = read_ivf_centroids(spark, path)
+    into the same pruned scan (composes with partition pruning).  Pass
+    ``centroids`` (e.g. a session cache) to skip the K-row centroids
+    read — interactive sessions otherwise pay a parquet-read job per
+    query for the same K rows."""
+    cunit = centroids if centroids is not None else read_ivf_centroids(spark, path)
     probe_ids = S._probe_centroids(cunit, query_vec, n_probe)
     vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(
         F.col("_centroid").isin(probe_ids)
@@ -127,6 +131,7 @@ def ivf_index_topk_many(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     where=None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """Batch twin of :func:`ivf_index_topk`: N queries against the
     materialized index in ONE pruned scan.
@@ -146,7 +151,11 @@ def ivf_index_topk_many(
     import pandas as pd
     from pyspark.sql import Window
 
-    cunit = read_ivf_centroids(spark, path)
+    if not query_vecs:
+        return spark.createDataFrame(
+            [], f"query_id string, {id_col} string, score double"
+        )
+    cunit = centroids if centroids is not None else read_ivf_centroids(spark, path)
     qids = [str(qid) for qid, _ in query_vecs]
     Q = np.stack(
         [np.asarray(v, dtype=np.float64) for _, v in query_vecs]
@@ -432,6 +441,120 @@ def lsh_index_topk(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(top_k)
         .select(F.col(id_col), F.round("score", 6).alias("score"))
+    )
+
+
+def lsh_index_topk_many(
+    spark: SparkSession,
+    path: str,
+    query_vecs,
+    top_k: int = 10,
+    bits: int = 8,
+    n_tables: int = 4,
+    hamming_radius: int = 1,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    seed: int = S._ANN_SEED,
+    where=None,
+) -> DataFrame:
+    """Batch twin of :func:`lsh_index_topk`: N queries against the
+    multi-table LSH index in ONE pruned scan.  Per-query (table, code)
+    probe sets are computed driver-side (Q x bits matvec per table and
+    a radius expansion over at most sum C(bits,i) codes); the scan is
+    pruned to the union of probed partitions; a (tables*2^bits x Q)
+    probe mask inside one mapInPandas keeps per-query results identical
+    to the single-query operator; duplicate ids surfaced by several
+    tables for the same query are deduped before the global rank
+    window."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    if not query_vecs:
+        return spark.createDataFrame(
+            [], f"query_id string, {id_col} string, score double"
+        )
+    qids = [str(qid) for qid, _ in query_vecs]
+    Q = np.stack([np.asarray(v, dtype=np.float64) for _, v in query_vecs])
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    qn[qn == 0.0] = 1.0
+    dim = Q.shape[1]
+    weights = 1 << np.arange(bits)
+    planes = S._tables_planes(dim, bits, n_tables, seed)
+    n_cells = n_tables << bits
+    probe_mask = np.zeros((n_cells, len(qids)), dtype=bool)
+    cond = F.lit(False)
+    for t, p in enumerate(planes):
+        qcodes = ((Q @ p) >= 0.0).astype(np.int64) @ weights  # (Q,)
+        union_codes: set = set()
+        for j, qc in enumerate(qcodes.tolist()):
+            for c in _codes_within_radius(int(qc), bits, hamming_radius):
+                probe_mask[(t << bits) | c, j] = True
+                union_codes.add(c)
+        cond = cond | (
+            (F.col("_table") == t) & F.col("_code").isin(sorted(union_codes))
+        )
+    vecs = spark.read.parquet(os.path.join(path, "vectors")).filter(cond)
+    if where is not None:
+        vecs = vecs.filter(where)
+
+    out_schema = f"query_id string, {id_col} string, score double"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = (
+                (pdf["_table"].to_numpy().astype(np.int64) << bits)
+                | pdf["_code"].to_numpy().astype(np.int64)
+            )
+            raw_ids = np.asarray(pdf[id_col].astype(str).to_numpy(), dtype=np.str_)
+            # collapse multi-table copies WITHIN the batch first: a
+            # duplicate id must not consume local top-k slots (it could
+            # displace a distinct candidate that belongs in the global
+            # top-k); a collapsed id is live for query j if ANY of its
+            # copies sits in a probed (table, code) cell
+            ids, first, inv = np.unique(
+                raw_ids, return_index=True, return_inverse=True
+            )
+            row_mask = probe_mask[cells, :]
+            mask_u = np.zeros((len(ids), row_mask.shape[1]), dtype=bool)
+            np.logical_or.at(mask_u, inv, row_mask)
+            M = np.stack(pdf[emb_col].to_numpy()[first]).astype(np.float64)
+            num = M @ Q.T
+            en = np.sqrt((M * M).sum(axis=1))
+            denom = en[:, None] * qn[None, :]
+            Smat = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
+            Smat = np.where(mask_u, Smat, -np.inf)
+            parts = []
+            for j, qid in enumerate(qids):
+                col = Smat[:, j]
+                live = np.flatnonzero(col > -np.inf)
+                if not len(live):
+                    continue
+                k = min(top_k, len(live))
+                if k < len(live):
+                    part = live[np.argpartition(-col[live], k - 1)]
+                    kth = col[part[k - 1]]
+                    cand = live[col[live] >= kth]
+                else:
+                    cand = live
+                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
+                parts.append(
+                    pd.DataFrame({"query_id": qid, id_col: ids[top], "score": col[top]})
+                )
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
+
+    scored = vecs.select(
+        F.col(id_col).cast("string").alias(id_col), emb_col, "_table", "_code"
+    ).mapInPandas(score_partition, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.dropDuplicates(["query_id", id_col])  # multi-table copies
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+        .select("query_id", id_col, F.round("score", 6).alias("score"))
     )
 
 

@@ -200,6 +200,11 @@ def _vector_search_many_vecs(
     import numpy as np
     import pandas as pd
 
+    if not query_vecs:
+        return chunk_embeddings.sparkSession.createDataFrame(
+            [], f"query_id string, {id_col} string, score double"
+        )
+
     # the query matrix rides in the task closure (Q x dim float64):
     # bound it so a huge evaluation set becomes several scans instead of
     # a multi-GB closure (4096 x 768 x 8B ≈ 25 MB per pass)

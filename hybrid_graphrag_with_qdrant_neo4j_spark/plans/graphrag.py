@@ -61,6 +61,7 @@ class GraphRAG:
             os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors")
         ):
             self._ann = None  # manifest without data: fall back to scan
+        self._centroids = None  # K-row quantizer, read once per session
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -76,6 +77,13 @@ class GraphRAG:
     def ann_family(self) -> str | None:
         """'ivf' | 'lsh' when the KG carries a written ANN index."""
         return self._ann.get("family") if self._ann else None
+
+    def _ivf_centroids(self):
+        if self._centroids is None:
+            self._centroids = AI.read_ivf_centroids(
+                self.spark, os.path.join(self._dir, ANN_INDEX_STAGE)
+            )
+        return self._centroids
 
     def vector_chunks(self, query: str, top_k: int = 10) -> DataFrame:
         """VectorRetriever.retrieve_chunks (retrieval.py:107-161):
@@ -95,6 +103,7 @@ class GraphRAG:
                     top_k=top_k,
                     n_probe=self.n_probe,
                     id_col=self._ann.get("id_col", "chunk_id"),
+                    centroids=self._ivf_centroids(),
                 )
             return AI.lsh_index_topk(
                 self.spark,
@@ -174,14 +183,10 @@ class GraphRAG:
 
     def _vector_chunks_many(self, queries, top_k: int = 10) -> DataFrame:
         """Batch vector leg: indexed (one partition-pruned scan answers
-        the whole batch, ann_index.ivf_index_topk_many) when the KG has
-        an IVF index; brute-force batch scan otherwise.  An LSH index
-        answers batches too (per-table code-radius pruning composes the
-        per-query predicates into one OR), but the multi-table layout
-        duplicates rows per table, so the simple union here probes per
-        query; for large batches prefer building the KG with
-        ann_index='ivf'."""
-        if self._ann is not None and self._ann["family"] == "ivf":
+        the whole batch — ann_index.ivf_index_topk_many /
+        lsh_index_topk_many) when the KG has a written index;
+        brute-force batch scan otherwise."""
+        if self._ann is not None:
             # embed the batch DISTRIBUTED (same pandas UDF as ingest),
             # then collect only the finished (query_id, vector) pairs —
             # the driver needs them to compute per-query probe lists
@@ -194,13 +199,29 @@ class GraphRAG:
                 F.col(qid_col).cast("string").alias("query_id"),
                 E2.embed(F.col(qtext_col), prefix="query: ").alias("_qemb"),
             ).collect()
-            return AI.ivf_index_topk_many(
+            qvecs = [(r[0], r[1]) for r in embedded]
+            idx = os.path.join(self._dir, ANN_INDEX_STAGE)
+            id_col = self._ann.get("id_col", "chunk_id")
+            if self._ann["family"] == "ivf":
+                return AI.ivf_index_topk_many(
+                    self.spark,
+                    idx,
+                    qvecs,
+                    top_k=top_k,
+                    n_probe=self.n_probe,
+                    id_col=id_col,
+                    centroids=self._ivf_centroids(),
+                )
+            params = self._ann.get("params", {})
+            return AI.lsh_index_topk_many(
                 self.spark,
-                os.path.join(self._dir, ANN_INDEX_STAGE),
-                [(r[0], r[1]) for r in embedded],
+                idx,
+                qvecs,
                 top_k=top_k,
-                n_probe=self.n_probe,
-                id_col=self._ann.get("id_col", "chunk_id"),
+                bits=params.get("bits", 8),
+                n_tables=params.get("n_tables", 4),
+                hamming_radius=self.hamming_radius,
+                id_col=id_col,
             )
         return retrieval.vector_search_many(
             self.table("chunk_embeddings"), queries, top_k=top_k

@@ -167,6 +167,19 @@ def test_indexed_facade_vector_path_prunes(kg_indexed):
     assert "PartitionFilters" in plan
     assert "_centroid" in plan.split("PartitionFilters", 1)[1][:400]
     assert 0 < len(out.collect()) <= 5
+    # the batch path prunes too (union of every query's probed buckets)
+    many = kg_indexed._vector_chunks_many(
+        kg_indexed.spark.createDataFrame(
+            [("q0", "Who founded Globex Systems?")],
+            "query_id string, query_text string",
+        ),
+        top_k=5,
+    )
+    mplan = many._sc._jvm.PythonSQLUtils.explainString(
+        many._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in mplan
+    assert "_centroid" in mplan.split("PartitionFilters", 1)[1][:400]
 
 
 def test_indexed_equals_bruteforce_when_probing_all(kg_indexed, spark):
@@ -256,3 +269,31 @@ def test_interactive_session(kg, spark, monkeypatch, capsys):
     # triplets-only query after context off
     assert out.count("QUERY RESULTS:") == 2
     assert "Exiting GraphRAG interactive session." in out
+
+
+def test_lsh_indexed_facade_e2e(spark, tmp_path_factory):
+    """build_kg(ann_index='lsh'): facade vector leg prunes on the
+    (table, code) layout; single and batch queries agree."""
+    out = str(tmp_path_factory.mktemp("kgql"))
+    pages = corpus.pages_spark_df(spark, 120, partitions=4)
+    build_kg(
+        spark, pages, out, input_fingerprint="facade:120",
+        max_tokens=80, ann_index="lsh",
+    )
+    rag = GraphRAG(spark, out, hamming_radius=2)
+    assert rag.ann_family == "lsh"
+    v = rag.vector_chunks("Who founded Globex Systems?", top_k=5)
+    plan = v._sc._jvm.PythonSQLUtils.explainString(
+        v._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    assert "_code" in plan.split("PartitionFilters", 1)[1][:800]
+    assert 0 < len(v.collect()) <= 5
+    queries = [("q0", "Who founded Globex Systems?"), ("q1", "Acme Corporation")]
+    many = rag.query_many(queries, top_k=5)
+    got = {(r["query_id"], r["chunk_id"], round(r["score"], 9)) for r in many.collect()}
+    want = set()
+    for qid, qtext in queries:
+        for r in rag.query(qtext, mode="hybrid", top_k=5)["chunks"].collect():
+            want.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert got == want and got

@@ -487,3 +487,28 @@ def test_compaction_recovers_from_killed_swap(spark, tmp_path):
     ann_index.compact_ivf_index(spark, idx)
     assert spark.read.parquet(f"{idx}/vectors").count() == n_total
     assert not os.path.exists(f"{idx}/_old_vectors")
+
+
+def test_lsh_index_topk_many_equals_per_query(spark, tmp_path):
+    """Batch LSH index queries == the single-query operator per query
+    (probe-mask + within-batch copy collapse must lose nothing)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = str(tmp_path / "lshm")
+    ann_index.write_lsh_index(emb, idx, bits=8, n_tables=3)
+    qvecs = [
+        (f"q{vid}", [float(v) for v in emb.filter(F.col("vec_id") == vid).first()["embedding"]])
+        for vid in (0, 7, 42)
+    ]
+    many = ann_index.lsh_index_topk_many(
+        spark, idx, qvecs, top_k=8, bits=8, n_tables=3, hamming_radius=1
+    )
+    got = {(r["query_id"], r["vec_id"], r["score"]) for r in many.collect()}
+    want = set()
+    for qid, qv in qvecs:
+        one = ann_index.lsh_index_topk(
+            spark, idx, qv, top_k=8, bits=8, n_tables=3, hamming_radius=1
+        )
+        want |= {(qid, str(r["vec_id"]), r["score"]) for r in one.collect()}
+    assert got == want and got
