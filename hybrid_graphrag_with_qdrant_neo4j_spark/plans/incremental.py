@@ -124,7 +124,16 @@ def append_batch(
         _bump_manifest(kg_dir, stage, batch_id, 0)
 
     # ---- 2. incremental entity linking -------------------------------
-    existing = spark.read.parquet(_data_path(kg_dir, "entities"))
+    # cold-start bootstrap: with no entities snapshot yet (first batch
+    # of a streaming KG build), every batch name is "new" and the
+    # new-vs-union blocking below degenerates to ordinary within-batch
+    # linking — the same code path builds the initial graph
+    if os.path.isdir(_data_path(kg_dir, "entities")):
+        existing = spark.read.parquet(_data_path(kg_dir, "entities"))
+    else:
+        existing = spark.createDataFrame(
+            [], "name string, canonical_id string, embedding array<float>"
+        )
     batch_ents = linking.entity_nodes(triples_b).persist()
     new_ents = batch_ents.join(
         existing.select("name"), "name", "left_anti"
@@ -223,7 +232,13 @@ def append_batch(
     _bump_manifest(kg_dir, "entities", batch_id, n_new)
 
     # ---- 4. edges: rewrite ONLY the touched components ----------------
-    old_edges = spark.read.parquet(_data_path(kg_dir, "edges"))
+    if os.path.isdir(_data_path(kg_dir, "edges")):
+        old_edges = spark.read.parquet(_data_path(kg_dir, "edges"))
+    else:
+        old_edges = spark.createDataFrame(
+            [],
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
     t_s = relabel.select(
         F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
     )

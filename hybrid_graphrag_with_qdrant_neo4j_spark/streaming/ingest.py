@@ -93,6 +93,56 @@ def start_incremental_ingest(
     )
 
 
+def start_incremental_kg_ingest(
+    spark: SparkSession,
+    pages_glob: str,
+    kg_dir: str,
+    checkpoint_dir: str,
+    max_tokens: int = 200,
+    num_partitions: int = 8,
+    pages_schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+):
+    """Streaming maintenance of the WHOLE KG — graph side included
+    (extends :func:`start_incremental_ingest`, which maintains only the
+    chunk/term/triple tables + ANN index): every micro-batch runs
+    ``plans.incremental.append_batch``, so arriving pages flow through
+    extraction, incremental entity linking (CC on the contracted
+    new-names + touched-canonicals graph only), the touched-component
+    edges remap, and — when the KG carries a written ANN index — the
+    frozen-quantizer index append.  The first batch bootstraps an empty
+    KG through the same code path.
+
+    Exactly-once per batch comes from the streaming checkpoint (the
+    engine tracks batch ids; a replayed batch re-runs append_batch,
+    which is NOT idempotent for the append-only tables — production
+    would pair this with Iceberg snapshot commits per batch id, the
+    same caveat as the plain ingest stream's parquet appends)."""
+    from ..plans.incremental import append_batch
+
+    stream = (
+        spark.readStream.schema(pages_schema).format("parquet").load(pages_glob)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_batch(
+            spark,
+            kg_dir,
+            batch_df,
+            batch_id=f"stream:{batch_id}",
+            max_tokens=max_tokens,
+            num_partitions=num_partitions,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_first_seen(
     docs_stream: DataFrame,
     id_col: str = "doc_id",

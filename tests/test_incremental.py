@@ -138,3 +138,34 @@ def test_append_invalidates_stage_fingerprints(spark, tmp_path, batches):
     append_batch(spark, kg, batch2, batch_id="b2")
     man = load_manifest(kg, "edges")
     assert man["fingerprint"] == f"{fp_before}+append:b2"
+
+
+def test_streaming_kg_ingest_two_batches(spark, tmp_path, batches):
+    """Full-KG streaming maintenance: two micro-batches through
+    start_incremental_kg_ingest (cold-start bootstrap on batch 1,
+    incremental linking + touched-component remap on batch 2) produce
+    entities/edges set-equal to a full rebuild over both batches."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.streaming import ingest as sti
+
+    batch1, batch2 = batches
+    in_dir = str(tmp_path / "in")
+    kg_dir = str(tmp_path / "skg")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1.write.mode("append").parquet(in_dir)
+    q = sti.start_incremental_kg_ingest(spark, in_dir, kg_dir, ckpt)
+    q.awaitTermination(300)
+    ents_mid, _ = _table_sets(spark, kg_dir)
+    assert ("global amalgamated consolidated industries incorporatedx",
+            "global amalgamated consolidated industries incorporatedx") in ents_mid
+
+    batch2.write.mode("append").parquet(in_dir)
+    q = sti.start_incremental_kg_ingest(spark, in_dir, kg_dir, ckpt)
+    q.awaitTermination(300)
+
+    full_dir = str(tmp_path / "sfull")
+    build_kg(spark, batch1.unionByName(batch2), full_dir, input_fingerprint="s12")
+    want_ents, want_edges = _table_sets(spark, full_dir)
+    got_ents, got_edges = _table_sets(spark, kg_dir)
+    assert got_ents == want_ents
+    assert got_edges == want_edges
