@@ -209,75 +209,101 @@ def append_batch(
     stats["n_relabeled_components"] = n_relabel
 
     # ---- 3. entities table: remap touched rows, add new rows ----------
-    ents_updated = (
-        existing.join(
-            F.broadcast(relabel),
-            existing.canonical_id == relabel.old_canonical,
-            "left",
-        )
-        .select(
-            "name",
-            F.coalesce("new_label", existing.canonical_id).alias("canonical_id"),
-            "embedding",
-        )
-    )
+    # fast path (the common batch): nothing relabeled -> the existing
+    # rows are untouched, so APPEND only the new rows instead of
+    # rewriting the table — per-batch cost stays O(batch), not O(table)
     ents_new_rows = new_ents.join(new_mapping, "name").select(
         "name", "canonical_id", "embedding"
     )
-    # localCheckpoint: the plan reads the same parquet path it is about
-    # to overwrite — materialize first (Iceberg's snapshot commit would
-    # make this a metadata-only concern)
-    entities_final = ents_updated.unionByName(ents_new_rows).localCheckpoint()
-    entities_final.write.mode("overwrite").parquet(_data_path(kg_dir, "entities"))
+    if n_relabel == 0:
+        if n_new:
+            _append(ents_new_rows, kg_dir, "entities")
+        entities_final = existing.unionByName(ents_new_rows)
+    else:
+        ents_updated = (
+            existing.join(
+                F.broadcast(relabel),
+                existing.canonical_id == relabel.old_canonical,
+                "left",
+            )
+            .select(
+                "name",
+                F.coalesce("new_label", existing.canonical_id).alias("canonical_id"),
+                "embedding",
+            )
+        )
+        # localCheckpoint: the plan reads the same parquet path it is
+        # about to overwrite — materialize first (Iceberg's snapshot
+        # commit would make this a metadata-only concern)
+        entities_final = ents_updated.unionByName(ents_new_rows).localCheckpoint()
+        entities_final.write.mode("overwrite").parquet(_data_path(kg_dir, "entities"))
     _bump_manifest(kg_dir, "entities", batch_id, n_new)
 
     # ---- 4. edges: rewrite ONLY the touched components ----------------
-    if os.path.isdir(_data_path(kg_dir, "edges")):
-        old_edges = spark.read.parquet(_data_path(kg_dir, "edges"))
-    else:
-        old_edges = spark.createDataFrame(
-            [],
-            "subj_id string, pred string, obj_id string, chunk_id string, url string",
-        )
-    t_s = relabel.select(
-        F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
-    )
-    t_o = relabel.select(
-        F.col("old_canonical").alias("obj_id"), F.col("new_label").alias("_no")
-    )
-    rewritten = (
-        old_edges.join(F.broadcast(t_s), "subj_id", "left")
-        .join(F.broadcast(t_o), "obj_id", "left")
-        .withColumn("_touched", F.col("_ns").isNotNull() | F.col("_no").isNotNull())
-    )
-    stats["n_edges_touched"] = rewritten.filter("_touched").count()
-    old_final = rewritten.select(
-        F.coalesce("_ns", F.col("subj_id")).alias("subj_id"),
-        "pred",
-        F.coalesce("_no", F.col("obj_id")).alias("obj_id"),
-        "chunk_id",
-        "url",
-    )
+    edges_exist = os.path.isdir(_data_path(kg_dir, "edges"))
     # batch triples canonicalized against the UPDATED mapping (restricted
     # to names that appear in the batch — small, broadcast-able).  Built
-    # from entities_final — already checkpointed, so this cannot race
-    # with the entities overwrite above.
+    # from entities_final (checkpointed on the rewrite path); on the
+    # append-only fast path `existing`'s lineage may re-read the table
+    # AFTER the new-rows append and surface each new name twice with the
+    # same canonical — dropDuplicates(name) makes the mapping immune to
+    # that evaluation-timing difference.
     batch_names = batch_ents.select("name")
-    mapping_batch = entities_final.select("name", "canonical_id").join(
-        F.broadcast(batch_names), "name", "left_semi"
+    mapping_batch = (
+        entities_final.select("name", "canonical_id")
+        .join(F.broadcast(batch_names), "name", "left_semi")
+        .dropDuplicates(["name"])
     )
     edges_b = components.canonical_edges(
         triples_b, mapping_batch, n_entities=batch_ents.count()
     )
     stats["n_edges_appended"] = edges_b.count()
-    edges_final = (
-        old_final.unionByName(edges_b)
-        # relabeling can collapse two old rows onto the same key
-        .groupBy("subj_id", "pred", "obj_id", "chunk_id")
-        .agg(F.first("url").alias("url"))
-        .localCheckpoint()
-    )
-    edges_final.write.mode("overwrite").parquet(_data_path(kg_dir, "edges"))
+    if n_relabel == 0:
+        # fast path: no component's canonical changed, so no existing
+        # edge row needs touching — APPEND the batch's edges and never
+        # scan the old table (the batch's chunk_ids are fresh, so the
+        # (subj, pred, obj, chunk_id) MERGE keys cannot collide)
+        stats["n_edges_touched"] = 0
+        _append(edges_b, kg_dir, "edges")
+    else:
+        old_edges = (
+            spark.read.parquet(_data_path(kg_dir, "edges"))
+            if edges_exist
+            else spark.createDataFrame(
+                [],
+                "subj_id string, pred string, obj_id string, "
+                "chunk_id string, url string",
+            )
+        )
+        t_s = relabel.select(
+            F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
+        )
+        t_o = relabel.select(
+            F.col("old_canonical").alias("obj_id"), F.col("new_label").alias("_no")
+        )
+        rewritten = (
+            old_edges.join(F.broadcast(t_s), "subj_id", "left")
+            .join(F.broadcast(t_o), "obj_id", "left")
+            .withColumn(
+                "_touched", F.col("_ns").isNotNull() | F.col("_no").isNotNull()
+            )
+        )
+        stats["n_edges_touched"] = rewritten.filter("_touched").count()
+        old_final = rewritten.select(
+            F.coalesce("_ns", F.col("subj_id")).alias("subj_id"),
+            "pred",
+            F.coalesce("_no", F.col("obj_id")).alias("obj_id"),
+            "chunk_id",
+            "url",
+        )
+        edges_final = (
+            old_final.unionByName(edges_b)
+            # relabeling can collapse two old rows onto the same key
+            .groupBy("subj_id", "pred", "obj_id", "chunk_id")
+            .agg(F.first("url").alias("url"))
+            .localCheckpoint()
+        )
+        edges_final.write.mode("overwrite").parquet(_data_path(kg_dir, "edges"))
     _bump_manifest(kg_dir, "edges", batch_id, stats["n_edges_appended"])
 
     # ---- 5. ANN index maintenance ------------------------------------

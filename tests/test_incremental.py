@@ -116,6 +116,17 @@ def test_append_noop_batch_keeps_tables(spark, tmp_path, batches):
     repeat = _pages_df(
         spark, [_page(20, "Erin Cole founded Globex Systems in 1999.")]
     )
+    def _files(stage):
+        d = f"{kg}/{stage}/data"
+        return {
+            os.path.join(r, f): os.path.getmtime(os.path.join(r, f))
+            for r, _dirs, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    ents_files_before = _files("entities")
+    edges_files_before = _files("edges")
     stats = append_batch(spark, kg, repeat, batch_id="rep")
     assert stats["n_new_entities"] == 0
     assert stats["n_relabeled_components"] == 0
@@ -124,6 +135,13 @@ def test_append_noop_batch_keeps_tables(spark, tmp_path, batches):
     assert ents_after == ents_before
     assert edges_before <= edges_after
     assert len(edges_after) == len(edges_before) + stats["n_edges_appended"]
+    # fast path is APPEND-ONLY: every pre-existing entities/edges file
+    # survives byte-untouched (no O(table) rewrite for an O(batch) job)
+    assert _files("entities") == ents_files_before
+    edges_files_after = _files("edges")
+    for path, mtime in edges_files_before.items():
+        assert edges_files_after.get(path) == mtime, f"rewritten: {path}"
+    assert len(edges_files_after) > len(edges_files_before)
 
 
 def test_append_invalidates_stage_fingerprints(spark, tmp_path, batches):
