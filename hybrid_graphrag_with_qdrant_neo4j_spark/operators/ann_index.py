@@ -272,37 +272,60 @@ def _compact_vectors(
     DataFrames planned over the OLD file listing fail after the swap
     (fileNotExist) — re-read the path.  Returns {"files_before",
     "files_after"}."""
+    n = num_shuffle_partitions or spark.sparkContext.defaultParallelism
+    return _swap_dirs(
+        spark,
+        os.path.join(path, "vectors"),
+        partition_cols,
+        n,
+        tmp=os.path.join(path, "_compact"),
+        old=os.path.join(path, "_old_vectors"),
+    )
+
+
+def _swap_dirs(
+    spark: SparkSession,
+    data_dir: str,
+    partition_cols: List[str],
+    n: int,
+    tmp: str | None = None,
+    old: str | None = None,
+) -> dict:
+    """Generic compact-and-swap: rewrite ``data_dir`` repartitioned by
+    its layout keys (or evenly at ``n`` when keyless), then two-rename
+    swap with the crash self-healing described in
+    :func:`_compact_vectors`.  Shared by the ANN index compactors and
+    ``plans.incremental.compact_tables``."""
     import shutil
 
-    vectors = os.path.join(path, "vectors")
-    tmp = os.path.join(path, "_compact")
-    old = os.path.join(path, "_old_vectors")
-    if not os.path.isdir(vectors) and os.path.isdir(old):
-        os.rename(old, vectors)  # prior compaction died between the renames
+    tmp = tmp or data_dir + "__compact"
+    old = old or data_dir + "__old"
+    if not os.path.isdir(data_dir) and os.path.isdir(old):
+        os.rename(old, data_dir)  # prior compaction died between the renames
     if os.path.isdir(old):
         shutil.rmtree(old)  # prior compaction died after swap, pre-cleanup
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)  # prior compaction died mid-rewrite
 
     def count_files(d: str) -> int:
-        n = 0
+        total = 0
         for root, _dirs, files in os.walk(d):
-            n += sum(1 for f in files if f.endswith(".parquet"))
-        return n
+            total += sum(1 for f in files if f.endswith(".parquet"))
+        return total
 
-    before = count_files(vectors)
-    df = spark.read.parquet(vectors)
-    n = num_shuffle_partitions or spark.sparkContext.defaultParallelism
-    (
-        df.repartition(n, *[F.col(c) for c in partition_cols])
-        .write.mode("overwrite")
-        .partitionBy(*partition_cols)
-        .parquet(tmp)
-    )
-    os.rename(vectors, old)
-    os.rename(tmp, vectors)
+    before = count_files(data_dir)
+    df = spark.read.parquet(data_dir)
+    if partition_cols:
+        df = df.repartition(n, *[F.col(c) for c in partition_cols])
+        writer = df.write.mode("overwrite").partitionBy(*partition_cols)
+    else:
+        df = df.repartition(n)
+        writer = df.write.mode("overwrite")
+    writer.parquet(tmp)
+    os.rename(data_dir, old)
+    os.rename(tmp, data_dir)
     shutil.rmtree(old)
-    return {"files_before": before, "files_after": count_files(vectors)}
+    return {"files_before": before, "files_after": count_files(data_dir)}
 
 
 def compact_ivf_index(

@@ -337,3 +337,47 @@ def append_batch(
         except Exception:
             pass
     return stats
+
+
+# stages that accumulate one file per (append batch x partition) under
+# continuous ingest, with their physical layout keys
+_COMPACTABLE = {
+    "text": ["lang"],
+    "chunks": ["lang"],
+    "chunk_embeddings": [],
+    "term_chunk_edges": [],
+    "triples_raw": [],
+    "mentions": [],
+    "entity_pairs": [],
+    "entities": [],
+    "edges": [],
+}
+
+
+def compact_tables(
+    spark: SparkSession,
+    kg_dir: str,
+    stages=None,
+    target_partitions: int | None = None,
+) -> dict:
+    """Small-file compaction for the KG snapshots — the operational twin
+    of ``ann_index.compact_ivf_index`` for the table side.  Continuous
+    appends leave one file per (batch x partition); at scale that
+    degrades scan planning and open() overhead long before bytes matter.
+    Rewrites each stage at ``target_partitions`` (default: the session's
+    parallelism) preserving the lang partition layout where one exists,
+    with the same self-healing two-rename swap the index compactor uses.
+    Content is unchanged (asserted by tests).  Returns
+    {stage: {"files_before", "files_after"}} for compacted stages;
+    stages whose directory does not exist are skipped."""
+    from ..operators.ann_index import _swap_dirs
+
+    out: dict = {}
+    n = target_partitions or spark.sparkContext.defaultParallelism
+    for stage in stages or _COMPACTABLE:
+        part_cols = _COMPACTABLE.get(stage, [])
+        data = _data_path(kg_dir, stage)
+        if not os.path.isdir(data):
+            continue
+        out[stage] = _swap_dirs(spark, data, part_cols, n)
+    return out

@@ -309,6 +309,13 @@ def main() -> None:
     app.add_argument("--partitions", type=int, default=None)
     app.add_argument("--seed", type=int, default=42)
 
+    cp = sub.add_parser(
+        "compact",
+        help="small-file compaction of the KG snapshots after appends",
+    )
+    cp.add_argument("--kg-dir", required=True)
+    cp.add_argument("--partitions", type=int, default=None)
+
     ip = sub.add_parser(
         "interactive",
         help="interactive query session (reference: graphrag interactive)",
@@ -353,6 +360,19 @@ def main() -> None:
         return
     if args.cmd == "append":
         _append_main(args)
+        return
+    if args.cmd == "compact":
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import (
+            compact_tables,
+        )
+
+        spark = get_spark(app_name="kg_compact")
+        print(json.dumps(
+            compact_tables(spark, args.kg_dir, target_partitions=args.partitions),
+            indent=2,
+        ))
+        spark.stop()
         return
 
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus

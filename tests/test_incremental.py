@@ -187,3 +187,33 @@ def test_streaming_kg_ingest_two_batches(spark, tmp_path, batches):
     got_ents, got_edges = _table_sets(spark, kg_dir)
     assert got_ents == want_ents
     assert got_edges == want_edges
+
+
+def test_compact_tables_after_appends(spark, tmp_path, batches):
+    """Operational small-file compaction: appends leave one file per
+    (batch x partition); compact_tables collapses them with unchanged
+    content, preserving the lang partition layout."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import (
+        compact_tables,
+    )
+
+    batch1, batch2 = batches
+    kg = str(tmp_path / "cmp")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    append_batch(spark, kg, batch2, batch_id="b2")
+    ents_before, edges_before = _table_sets(spark, kg)
+    n_chunks = spark.read.parquet(f"{kg}/chunks/data").count()
+
+    stats = compact_tables(spark, kg, target_partitions=1)
+    assert stats["chunks"]["files_after"] < stats["chunks"]["files_before"]
+    assert stats["edges"]["files_after"] <= stats["edges"]["files_before"]
+    # content unchanged
+    ents_after, edges_after = _table_sets(spark, kg)
+    assert ents_after == ents_before and edges_after == edges_before
+    assert spark.read.parquet(f"{kg}/chunks/data").count() == n_chunks
+    # lang layout preserved (partition pruning still works)
+    pruned = spark.read.parquet(f"{kg}/chunks/data").filter(F.col("lang") == "en")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
