@@ -241,9 +241,16 @@ def main() -> None:
             emb = chunks.select(
                 F.col("chunk_id").alias("vec_id"),
                 E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
-            )
+            ).persist()
+            # materialize once (counted in the timing): in the pipeline
+            # the index build reads the chunk_embeddings SNAPSHOT, not a
+            # live UDF chain — without this, every training pass (init
+            # scan + Lloyd iterations + bucketed write) re-runs
+            # extract+chunk+embed and the entry overstates build cost ~4x
+            emb.count()
             ann_index.write_ivf_index(emb, os.path.join(idx_tmp, "ivf"), k=64)
             timings["kg_ann_index_build_once"] = round(time.perf_counter() - t0, 3)
+            emb.unpersist()
         finally:
             shutil.rmtree(idx_tmp, ignore_errors=True)
 

@@ -86,7 +86,18 @@ def append_batch(
 
       {"n_pages", "n_chunks", "n_new_entities", "n_relabeled_components",
        "n_edges_touched", "n_edges_appended", "ann_index_appended"}
+
+    Idempotent per ``batch_id``: every applied batch is recorded in the
+    edges manifest's fingerprint chain (``+append:<batch_id>``), and a
+    batch already in the chain returns ``{"skipped": True}`` without
+    touching any table — so a replayed streaming micro-batch (foreachBatch
+    re-delivery after a crash mid-batch is still the caveat; re-delivery
+    after a COMPLETED batch is now a no-op) or a re-run CLI append
+    cannot double-append.
     """
+    man = load_manifest(kg_dir, "edges")
+    if man and f"+append:{batch_id}" in man.get("fingerprint", ""):
+        return {"skipped": True, "batch_id": batch_id}
     stats: dict = {}
 
     # ---- 1. extraction stages over the new batch only ----------------
@@ -97,13 +108,15 @@ def append_batch(
     chunks_b = chunker.chunk_documents(text_b, max_tokens).persist()
     en_b = chunks_b.filter(F.col("lang") == "en")
     triples_b = triples_op.triples_raw(en_b).persist()
+    # persisted: the embedding UDF pass feeds both the chunk_embeddings
+    # append and the ANN-index append — run it once per batch
     emb_b = chunks_b.select(
         "chunk_id",
         "doc_id",
         "chunk_index",
         F.substring("text", 1, 1000).alias("text"),
         E.embed(F.col("text"), prefix="passage: ").alias("embedding"),
-    )
+    ).persist()
 
     stats["n_pages"] = text_b.count()
     stats["n_chunks"] = chunks_b.count()
@@ -331,7 +344,7 @@ def append_batch(
             )
         stats["ann_index_appended"] = True
 
-    for df in (chunks_b, triples_b, batch_ents, new_ents, relabel):
+    for df in (chunks_b, triples_b, emb_b, batch_ents, new_ents, relabel):
         try:
             df.unpersist()
         except Exception:

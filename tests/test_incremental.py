@@ -217,3 +217,20 @@ def test_compact_tables_after_appends(spark, tmp_path, batches):
         pruned._jdf.queryExecution(), "formatted"
     )
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_append_batch_is_idempotent_per_batch_id(spark, tmp_path, batches):
+    """A replayed batch_id (streaming re-delivery / re-run CLI append)
+    is a no-op: the edges manifest's fingerprint chain records applied
+    batches."""
+    batch1, batch2 = batches
+    kg = str(tmp_path / "idem")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    append_batch(spark, kg, batch2, batch_id="b2")
+    ents1, edges1 = _table_sets(spark, kg)
+    out = append_batch(spark, kg, batch2, batch_id="b2")
+    assert out == {"skipped": True, "batch_id": "b2"}
+    assert _table_sets(spark, kg) == (ents1, edges1)
+    # a NEW batch id still applies
+    stats = append_batch(spark, kg, batch2.limit(0), batch_id="b3")
+    assert stats.get("skipped") is not True

@@ -545,3 +545,51 @@ def test_queries_entity_candidates_distributed(spark):
             for r in retrieval.queries_entity_candidates(qdf).collect()}
     assert rows == {("q0", "who"), ("q0", "globex systems"),
                     ("q2", "acme corporation")}
+
+
+def test_context_window_randomized_vs_python_oracle(spark):
+    """Randomized (seeded) cross-check of the banded expansion: the SQL
+    oracle covers one fixed scenario; this sweeps layouts x context
+    sizes against a brute-force python reference of the reference's
+    seen-set semantics (is_match wins, then max score, then smallest
+    match id)."""
+    import random
+
+    rng = random.Random(7)
+    chunk_rows, all_chunks = [], {}
+    for d in range(6):
+        n = rng.randint(1, 9)
+        for i in range(n):
+            cid = f"d{d}_c{i:02d}"
+            chunk_rows.append((cid, f"d{d}", i, f"t {cid}"))
+            all_chunks[cid] = (f"d{d}", i)
+    chunks = spark.createDataFrame(
+        chunk_rows, "chunk_id string, doc_id string, chunk_index int, text string"
+    )
+    match_ids = rng.sample([c[0] for c in chunk_rows], 8)
+    matches_rows = [(m, round(rng.random(), 6)) for m in match_ids]
+    matches = spark.createDataFrame(matches_rows, "chunk_id string, score double")
+
+    for ctx in (0, 1, 2, 3):
+        got = {
+            (r["chunk_id"], r["is_match"], round(r["score"], 9))
+            for r in retrieval.expand_context(matches, chunks, ctx).collect()
+        }
+        # python reference
+        want = {}
+        for mid, score in matches_rows:
+            mdoc, midx = all_chunks[mid]
+            for cid, (doc, idx) in all_chunks.items():
+                if doc == mdoc and abs(idx - midx) <= ctx:
+                    cand = (cid == mid, score, mid)
+                    prev = want.get(cid)
+                    # keep (is_match desc, score desc, match_id asc)
+                    if prev is None or (
+                        (cand[0], cand[1], [-ord(c) for c in cand[2]])
+                        > (prev[0], prev[1], [-ord(c) for c in prev[2]])
+                    ):
+                        want[cid] = cand
+        want_set = {
+            (cid, is_m, round(sc, 9)) for cid, (is_m, sc, _m) in want.items()
+        }
+        assert got == want_set, f"ctx={ctx}"
