@@ -23,8 +23,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from ..operators import ann_index as AI, ngrams, retrieval
-from ..functions import embedding as E
+from ..operators import ann_index as AI, retrieval
 from .checkpoint import load_manifest
 from .pipeline import ANN_INDEX_STAGE
 

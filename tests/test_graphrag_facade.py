@@ -297,3 +297,28 @@ def test_lsh_indexed_facade_e2e(spark, tmp_path_factory):
         for r in rag.query(qtext, mode="hybrid", top_k=5)["chunks"].collect():
             want.add((qid, r["chunk_id"], round(r["score"], 9)))
     assert got == want and got
+
+
+def test_indexed_facade_recall_gate(kg_indexed, spark):
+    """Recall disclosure for the approximate facade path: probing half
+    the buckets (n_probe=4 of K=8) must keep mean recall@5 vs the exact
+    scan >= 0.85 over a query set (measured 0.925; n_probe >= K is
+    exact, pinned by test_indexed_equals_bruteforce_when_probing_all).
+    The production knob: GraphRAG(n_probe=...) trades scan fraction for
+    recall at query time without touching the index."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import retrieval
+
+    queries = [
+        "Who founded Globex Systems?", "Acme Corporation joint venture",
+        "Neural Turbines industrial clients", "shareholder meeting",
+        "Cyberdyne Research partnership", "markets moved sideways",
+        "Erin Cole", "data platform launch",
+    ]
+    rag = GraphRAG(spark, kg_indexed._dir, n_probe=4)
+    emb = rag.table("chunk_embeddings")
+    recalls = []
+    for q in queries:
+        idx = {r["chunk_id"] for r in rag.vector_chunks(q, top_k=5).collect()}
+        exact = {r["chunk_id"] for r in retrieval.vector_search(emb, q, top_k=5).collect()}
+        recalls.append(len(idx & exact) / len(exact))
+    assert sum(recalls) / len(recalls) >= 0.85, recalls
