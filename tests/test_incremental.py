@@ -234,3 +234,21 @@ def test_append_batch_is_idempotent_per_batch_id(spark, tmp_path, batches):
     # a NEW batch id still applies
     stats = append_batch(spark, kg, batch2.limit(0), batch_id="b3")
     assert stats.get("skipped") is not True
+
+
+def test_append_batch_maintains_lsh_index(spark, tmp_path, batches):
+    """An LSH-indexed KG receives the batch's vectors through the
+    seeded-plane append path (family dispatch on the ann manifest)."""
+    batch1, batch2 = batches
+    kg = str(tmp_path / "lsha")
+    build_kg(spark, batch1, kg, input_fingerprint="b1", ann_index="lsh")
+    n_before = spark.read.parquet(f"{kg}/ann_index/vectors").count()
+    stats = append_batch(spark, kg, batch2, batch_id="b2")
+    assert stats["ann_index_appended"] is True
+    n_after = spark.read.parquet(f"{kg}/ann_index/vectors").count()
+    # multi-table layout: one copy per table (default n_tables=4)
+    assert n_after == n_before + stats["n_chunks"] * 4
+    rag = GraphRAG(spark, kg, hamming_radius=2)
+    assert rag.ann_family == "lsh"
+    hits = rag.vector_chunks("Initech Group joint venture", top_k=5).collect()
+    assert hits
