@@ -909,6 +909,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_lsh_indexed_topk"] = ann_lsh_indexed_topk
 
+    def ann_lsh_index_many_topk(spark, sf):
+        """Batch LSH over the written multi-table index: three queries,
+        ONE (table, code)-pruned scan with per-query probe masks and
+        within-batch copy collapse (ann_index.lsh_index_topk_many); the
+        oracle rebuilds per-query hamming probing + rerank from the
+        seeded hyperplanes, proving the batch masks are per-query."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+        emb = _t(spark, sf, "embeddings")
+        idx = os.path.join(_KG_DIR, "lsh_index")
+        key = (id(spark), sf, "lsh_index")
+        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
+            ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
+            _ANN_CACHE[key] = idx
+        qvecs = []
+        for qid, vid in (("q0", 0), ("q1", 1), ("q2", 2)):
+            vec = emb.filter(F.col("vec_id") == vid).select("embedding").first()[0]
+            qvecs.append((qid, [float(v) for v in vec]))
+        return ann_index.lsh_index_topk_many(
+            spark, idx, qvecs, top_k=10, bits=8, n_tables=4, hamming_radius=1
+        )
+
+    q["ann_lsh_index_many_topk"] = ann_lsh_index_many_topk
+
     def knn_filtered_topk(spark, sf):
         """Payload-filtered vector search (reference qdrant filter param,
         qdrant_connection.py:154-180): predicate on a stored column
@@ -2537,6 +2561,55 @@ def oracle_sql() -> dict[str, str]:
     sqls["ann_lsh_indexed_topk"] = sqls["ann_lsh_topk"].replace(
         "WHERE d <= 2", "WHERE d <= 1"
     )
+
+    # batch LSH: per-query bits -> per-(query, table) hamming -> radius-1
+    # candidate union -> per-query exact rerank + top-10.  vec_id cast to
+    # VARCHAR and tie-broken lexicographically, matching the Spark
+    # operator's string-id contract.
+    sqls["ann_lsh_index_many_topk"] = f"""
+        WITH planes(t, b, vals) AS (VALUES
+          {_planes_values}
+        ),
+        idx AS (SELECT unnest(range(1, 65)) AS i),
+        ebits AS (
+          SELECT v.vec_id, p.t, p.b,
+                 SUM(v.embedding[idx.i]::DOUBLE * p.vals[idx.i]) >= 0.0 AS bit
+          FROM embeddings v CROSS JOIN planes p CROSS JOIN idx
+          GROUP BY v.vec_id, p.t, p.b
+        ),
+        qmap(query_id, qvec) AS (VALUES ('q0', 0), ('q1', 1), ('q2', 2)),
+        qbits AS (
+          SELECT m.query_id, e.t, e.b, e.bit
+          FROM ebits e JOIN qmap m ON e.vec_id = m.qvec
+        ),
+        ham AS (
+          SELECT qb.query_id, e.vec_id, e.t,
+                 SUM(CASE WHEN e.bit <> qb.bit THEN 1 ELSE 0 END) AS d
+          FROM ebits e JOIN qbits qb ON e.t = qb.t AND e.b = qb.b
+          GROUP BY qb.query_id, e.vec_id, e.t
+        ),
+        cand AS (
+          SELECT DISTINCT query_id, vec_id FROM ham WHERE d <= 1
+        ),
+        scored AS (
+          SELECT c.query_id, CAST(e.vec_id AS VARCHAR) AS vec_id,
+                 ROUND(CASE WHEN {ana} = 0.0
+                            OR {norm.format(x="qe.embedding")} = 0.0 THEN 0.0
+                       ELSE {dot.format(a="e.embedding", b="qe.embedding")}
+                            / ({ana} * {norm.format(x="qe.embedding")}) END,
+                       6) AS score
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN qmap m ON m.query_id = c.query_id
+          JOIN embeddings qe ON qe.vec_id = m.qvec
+        )
+        SELECT query_id, vec_id, score FROM (
+          SELECT query_id, vec_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, vec_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 10
+    """
 
     # Greedy sentence-packing chunker recomputed from scratch as a
     # recursive CTE: the same sequential fold chunk_text performs
