@@ -277,6 +277,8 @@ def main() -> None:
         "(reference: Qdrant index built at upsert)",
     )
     proc.add_argument("--ann-k", type=int, default=64, help="IVF centroid count")
+    proc.add_argument("--ann-bits", type=int, default=8, help="LSH code bits")
+    proc.add_argument("--ann-tables", type=int, default=4, help="LSH hash tables")
 
     qm = sub.add_parser(
         "query-many",
@@ -413,6 +415,8 @@ def main() -> None:
         num_partitions=partitions,
         ann_index=args.ann_index,
         ann_k=args.ann_k,
+        ann_bits=args.ann_bits,
+        ann_tables=args.ann_tables,
     )
     elapsed = time.perf_counter() - t0
     summary = {
