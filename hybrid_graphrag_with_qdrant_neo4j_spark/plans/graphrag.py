@@ -72,6 +72,21 @@ class GraphRAG:
     # -- retrieval modes (reference defaults: top_k=10, context_size=2,
     #    vector_weight=0.5; config.py:131-134) --------------------------
 
+    def refresh(self) -> "GraphRAG":
+        """Drop cached table handles, the ANN manifest, and the centroid
+        cache — call after ``plans.incremental.append_batch`` /
+        ``compact_tables`` mutate the KG under a live facade (parquet
+        DataFrames hold the file listing from planning time; Iceberg
+        would refresh via snapshot metadata instead)."""
+        self._cache.clear()
+        self._centroids = None
+        self._ann = load_manifest(self._dir, ANN_INDEX_STAGE)
+        if self._ann is not None and not os.path.isdir(
+            os.path.join(self._dir, ANN_INDEX_STAGE, "vectors")
+        ):
+            self._ann = None
+        return self
+
     @property
     def ann_family(self) -> str | None:
         """'ivf' | 'lsh' when the KG carries a written ANN index."""

@@ -252,3 +252,17 @@ def test_append_batch_maintains_lsh_index(spark, tmp_path, batches):
     assert rag.ann_family == "lsh"
     hits = rag.vector_chunks("Initech Group joint venture", top_k=5).collect()
     assert hits
+
+
+def test_facade_refresh_after_append(spark, tmp_path, batches):
+    """A live GraphRAG sees an appended KG after refresh(): new chunks
+    retrievable, updated canonical ids in triplets mode."""
+    batch1, batch2 = batches
+    kg = str(tmp_path / "rfr")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    rag = GraphRAG(spark, kg)
+    rag.table("chunks")  # warm the cache pre-append
+    append_batch(spark, kg, batch2, batch_id="b2")
+    rag.refresh()
+    out = rag.query("Initech Group", mode="triplets", top_k=5)
+    assert any("initech" in r["text"].lower() for r in out["chunks"].collect())
