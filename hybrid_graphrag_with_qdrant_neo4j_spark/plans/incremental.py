@@ -81,6 +81,7 @@ def append_batch(
     batch_id: str,
     max_tokens: int = 200,
     num_partitions: int = 32,
+    dedup_urls: bool = True,
 ) -> dict:
     """Append ``new_pages`` into the KG at ``kg_dir``; returns stats:
 
@@ -105,6 +106,23 @@ def append_batch(
     text_b = pages_src.with_doc_id(
         pages_src.with_extracted_text(p, out_col="text")
     ).select("url", "warc_ts", "doc_id", "text", "lang")
+    if dedup_urls and os.path.isdir(_data_path(kg_dir, "text")):
+        # a crawl re-fetches the same page forever (SURVEY: streaming
+        # first-seen dedup is the content-level twin); URL-level dedup
+        # here keeps a re-delivered page from double-appending its
+        # chunks/terms/triples.  Keep-first semantics: the already-
+        # ingested snapshot wins; a re-crawl with CHANGED content is a
+        # revision-management problem (Iceberg row-level MERGE), out of
+        # scope for the append path.  The anti-join reads only the
+        # doc_id column of the text snapshot (column-pruned scan).
+        seen = spark.read.parquet(_data_path(kg_dir, "text")).select("doc_id")
+        text_b = text_b.join(seen, "doc_id", "left_anti")
+    # eager localCheckpoint, not persist: text_b's anti-join reads the
+    # text snapshot this function APPENDS to below — a lazy lineage
+    # re-evaluated after that append would exclude the batch's own rows
+    # (observed: the chunks append silently became empty).  Also
+    # collapses the extraction UDF chain to one pass for the whole batch.
+    text_b = text_b.localCheckpoint()
     chunks_b = chunker.chunk_documents(text_b, max_tokens).persist()
     en_b = chunks_b.filter(F.col("lang") == "en")
     triples_b = triples_op.triples_raw(en_b).persist()

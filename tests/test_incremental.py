@@ -266,3 +266,26 @@ def test_facade_refresh_after_append(spark, tmp_path, batches):
     rag.refresh()
     out = rag.query("Initech Group", mode="triplets", top_k=5)
     assert any("initech" in r["text"].lower() for r in out["chunks"].collect())
+
+
+def test_append_dedups_refetched_urls(spark, tmp_path, batches):
+    """A batch re-delivering an already-ingested url (crawl re-fetch)
+    appends nothing for it — no duplicate chunks/edges; genuinely new
+    pages in the same batch still land."""
+    batch1, _ = batches
+    kg = str(tmp_path / "urld")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    n_chunks_before = spark.read.parquet(f"{kg}/chunks/data").count()
+    _, edges_before = _table_sets(spark, kg)
+    # page 0 re-fetched verbatim + one new page
+    refetch = _pages_df(spark, [
+        _page(0, f"Dana Fox founded {_ENT_OLD} in 1999."),
+        _page(30, "Erin Cole partnered with Acme Corporation on a joint venture."),
+    ])
+    stats = append_batch(spark, kg, refetch, batch_id="rf")
+    assert stats["n_pages"] == 1  # only the new page survived the dedup
+    n_chunks_after = spark.read.parquet(f"{kg}/chunks/data").count()
+    assert n_chunks_after == n_chunks_before + stats["n_chunks"]
+    _, edges_after = _table_sets(spark, kg)
+    # old page-0 edges not duplicated (chunk_id would collide otherwise)
+    assert len(edges_after) == len(edges_before) + stats["n_edges_appended"]
