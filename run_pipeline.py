@@ -173,6 +173,42 @@ def _interactive_main(args) -> None:
     spark.stop()
 
 
+def _info_main(args) -> None:
+    """Print every stage's checkpoint manifest — the per-partition
+    lineage + metrics the north rule requires, made user-visible.  Pure
+    filesystem reads; no Spark session needed."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.checkpoint import load_manifest
+
+    stages = sorted(
+        d for d in os.listdir(args.kg_dir)
+        if os.path.isdir(os.path.join(args.kg_dir, d))
+    )
+    out = {}
+    for stage in stages:
+        man = load_manifest(args.kg_dir, stage)
+        if man is None:
+            continue
+        entry = {
+            k: man[k]
+            for k in ("fingerprint", "n_rows", "n_partitions", "schema",
+                      "family", "params", "iceberg_table", "snapshot_id")
+            if k in man
+        }
+        data = os.path.join(args.kg_dir, stage,
+                            "data" if stage != "ann_index" else "vectors")
+        if os.path.isdir(data):
+            n_files = n_bytes = 0
+            for root, _dirs, files in os.walk(data):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        n_files += 1
+                        n_bytes += os.path.getsize(os.path.join(root, f))
+            entry["data_files"] = n_files
+            entry["data_bytes"] = n_bytes
+        out[stage] = entry
+    print(json.dumps(out, indent=2))
+
+
 def _append_main(args) -> None:
     from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
     from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
@@ -311,6 +347,12 @@ def main() -> None:
     app.add_argument("--partitions", type=int, default=None)
     app.add_argument("--seed", type=int, default=42)
 
+    info = sub.add_parser(
+        "info",
+        help="show per-stage lineage + metrics manifests of a built KG",
+    )
+    info.add_argument("--kg-dir", required=True)
+
     cp = sub.add_parser(
         "compact",
         help="small-file compaction of the KG snapshots after appends",
@@ -362,6 +404,9 @@ def main() -> None:
         return
     if args.cmd == "append":
         _append_main(args)
+        return
+    if args.cmd == "info":
+        _info_main(args)
         return
     if args.cmd == "compact":
         from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark

@@ -322,3 +322,20 @@ def test_indexed_facade_recall_gate(kg_indexed, spark):
         exact = {r["chunk_id"] for r in retrieval.vector_search(emb, q, top_k=5).collect()}
         recalls.append(len(idx & exact) / len(exact))
     assert sum(recalls) / len(recalls) >= 0.85, recalls
+
+
+def test_cli_info(kg_indexed, monkeypatch, capsys):
+    """`info` verb: per-stage lineage + metrics manifests rendered as
+    JSON (no Spark session needed)."""
+    import json as _json
+    import run_pipeline
+
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "info", "--kg-dir", kg_indexed._dir]
+    )
+    run_pipeline.main()
+    out = _json.loads(capsys.readouterr().out)
+    assert {"text", "chunks", "edges", "entities", "ann_index"} <= set(out)
+    assert out["ann_index"]["family"] == "ivf"
+    assert out["edges"]["n_rows"] > 0 and out["edges"]["data_files"] >= 1
+    assert "fingerprint" in out["edges"] and "schema" in out["edges"]
