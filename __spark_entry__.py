@@ -67,11 +67,27 @@ _KG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".kg_oracle")
 _KG_QUERY = "Who founded Globex Systems?"
 _KG_BUILT: set = set()
 # session-scoped ANN artifacts (VERDICT r3 'what's wrong' #1): the IVF
-# quantizer and the written indexes are TRAINED/BUILT ONCE per
-# (session, sf) and reused by every later query call — the deployment
-# reality (index built at ingest, queried many times); the first call
-# still trains, so a fresh correctness run exercises the full path
+# quantizer and the written indexes are TRAINED/BUILT ONCE per session
+# and reused by every later query call — the deployment reality (index
+# built at ingest, queried many times); the first call still trains, so
+# a fresh correctness run exercises the full path.  Values are
+# (sf, payload) pairs validated against the REQUESTED sf: the on-disk
+# artifact paths under _KG_DIR are shared, so a session interleaving two
+# sf dirs must rebuild on each switch (last-writer-wins keeps the
+# materialized oracle inputs consistent with whatever was queried last).
 _ANN_CACHE: dict = {}
+
+
+def _ann_cached(spark, sf, artifact, build):
+    """Get-or-build a session ANN artifact; rebuilds when the cached
+    entry belongs to a different sf (shared on-disk paths)."""
+    key = (id(spark), artifact)
+    hit = _ANN_CACHE.get(key)
+    if hit is not None and hit[0] == sf:
+        return hit[1]
+    payload = build()
+    _ANN_CACHE[key] = (sf, payload)
+    return payload
 
 
 def _kg_pq(name: str) -> str:
@@ -816,18 +832,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         training itself is gated by pytest property tests (fixed K vs
         table size, recall@10)."""
         emb = _t(spark, sf, "embeddings")
-        key = (id(spark), sf, "ivf_cents")
-        if key in _ANN_CACHE:
-            return emb, _ANN_CACHE[key]
-        cents = similarity.ivf_train_centroids(emb, k=16, lloyd_iters=2)
-        rows = [(i, [float(v) for v in cents[i]]) for i in range(cents.shape[0])]
-        spark.createDataFrame(rows, "cid int, cemb array<double>").coalesce(
-            1
-        ).write.mode("overwrite").parquet(
-            os.path.join(_KG_DIR, "ivf_centroids.parquet")
-        )
-        _ANN_CACHE[key] = cents
-        return emb, cents
+
+        def build():
+            cents = similarity.ivf_train_centroids(emb, k=16, lloyd_iters=2)
+            rows = [
+                (i, [float(v) for v in cents[i]]) for i in range(cents.shape[0])
+            ]
+            spark.createDataFrame(rows, "cid int, cemb array<double>").coalesce(
+                1
+            ).write.mode("overwrite").parquet(
+                os.path.join(_KG_DIR, "ivf_centroids.parquet")
+            )
+            return cents
+
+        return emb, _ann_cached(spark, sf, "ivf_cents", build)
 
     def ann_ivf_topk(spark, sf):
         emb, cents = _ivf_trained(spark, sf)
@@ -858,15 +876,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_ivf_indexed_topk"] = ann_ivf_indexed_topk
 
     def _ivf_index_built(spark, sf, emb, cents):
-        """Write the bucketed IVF index once per (session, sf)."""
+        """Write the bucketed IVF index once per session (sf-validated)."""
         from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
 
         idx = os.path.join(_KG_DIR, "ivf_index")
-        key = (id(spark), sf, "ivf_index")
-        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
+
+        def build():
             ann_index.write_ivf_index(emb, idx, centroids=cents)
-            _ANN_CACHE[key] = idx
-        return idx
+            return idx
+
+        if not os.path.isdir(os.path.join(idx, "vectors")):
+            _ANN_CACHE.pop((id(spark), "ivf_index"), None)
+        return _ann_cached(spark, sf, "ivf_index", build)
+
+    def _lsh_index_built(spark, sf, emb):
+        """Write the multi-table LSH index once per session (sf-validated)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
+
+        idx = os.path.join(_KG_DIR, "lsh_index")
+
+        def build():
+            ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
+            return idx
+
+        if not os.path.isdir(os.path.join(idx, "vectors")):
+            _ANN_CACHE.pop((id(spark), "lsh_index"), None)
+        return _ann_cached(spark, sf, "lsh_index", build)
 
     def ann_ivf_index_many_topk(spark, sf):
         """Batch indexed ANN (VERDICT r3 #1/#2): three query vectors
@@ -894,11 +929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
 
         emb = _t(spark, sf, "embeddings")
-        idx = os.path.join(_KG_DIR, "lsh_index")
-        key = (id(spark), sf, "lsh_index")
-        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
-            ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
-            _ANN_CACHE[key] = idx
+        idx = _lsh_index_built(spark, sf, emb)
         qvec = [
             float(v)
             for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -918,11 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ann_index
 
         emb = _t(spark, sf, "embeddings")
-        idx = os.path.join(_KG_DIR, "lsh_index")
-        key = (id(spark), sf, "lsh_index")
-        if key not in _ANN_CACHE or not os.path.isdir(os.path.join(idx, "vectors")):
-            ann_index.write_lsh_index(emb, idx, bits=8, n_tables=4)
-            _ANN_CACHE[key] = idx
+        idx = _lsh_index_built(spark, sf, emb)
         qvecs = []
         for qid, vid in (("q0", 0), ("q1", 1), ("q2", 2)):
             vec = emb.filter(F.col("vec_id") == vid).select("embedding").first()[0]

@@ -38,6 +38,28 @@ from ..functions import embedding as E
 from . import similarity as S
 
 
+def local_topk(col: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Tie-aware local top-k over one score column: indices of the best
+    ``k`` rows under the SAME (score desc, id asc) total order the
+    global rank window uses.  Rows masked to -inf never qualify; all
+    boundary-score ties are kept through the argpartition narrowing so
+    the lexicographic tie-break sees every candidate the global window
+    would (ADVICE r3: argpartition on score alone dropped tied boundary
+    candidates arbitrarily -> partitioning-dependent results).  Shared
+    by every batch ANN/vector operator's per-Arrow-batch pruning."""
+    live = np.flatnonzero(col > -np.inf)
+    if not len(live):
+        return live
+    k = min(k, len(live))
+    if k < len(live):
+        part = live[np.argpartition(-col[live], k - 1)]
+        kth = col[part[k - 1]]
+        cand = live[col[live] >= kth]
+    else:
+        cand = live
+    return cand[np.lexsort((ids[cand], -col[cand]))[:k]]
+
+
 # ---------------------------------------------------------------------------
 # IVF index
 # ---------------------------------------------------------------------------
@@ -146,8 +168,13 @@ def ivf_index_topk_many(
     query is emitted, so the shuffle into the global per-query rank
     window carries at most batches x Q x k rows.
 
-    Returns (query_id, <id_col>, score) with the same 6-dp rounding and
-    (score desc, id asc) order contract as the single-query form."""
+    Returns (query_id, <id_col>, score) with the single-query form's
+    6-dp rounding.  Contract difference: the id column is CAST TO STRING
+    (the mapInPandas schema is fixed per batch), so score ties at the
+    top_k boundary break LEXICOGRAPHICALLY on the stringified id — for
+    non-string id columns (e.g. numeric vec_id) a tie can select a
+    different id than N single-query calls would ('10' < '2').  The
+    facade's chunk_ids are strings, where the orders coincide exactly."""
     import pandas as pd
     from pyspark.sql import Window
 
@@ -194,17 +221,9 @@ def ivf_index_topk_many(
             parts = []
             for j, qid in enumerate(qids):
                 col = Smat[:, j]
-                live = np.flatnonzero(col > -np.inf)
-                if not len(live):
+                top = local_topk(col, ids, top_k)
+                if not len(top):
                     continue
-                k = min(top_k, len(live))
-                if k < len(live):
-                    part = live[np.argpartition(-col[live], k - 1)]
-                    kth = col[part[k - 1]]
-                    cand = live[col[live] >= kth]
-                else:
-                    cand = live
-                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
                 parts.append(
                     pd.DataFrame({"query_id": qid, id_col: ids[top], "score": col[top]})
                 )
@@ -485,10 +504,12 @@ def lsh_index_topk_many(
     probe sets are computed driver-side (Q x bits matvec per table and
     a radius expansion over at most sum C(bits,i) codes); the scan is
     pruned to the union of probed partitions; a (tables*2^bits x Q)
-    probe mask inside one mapInPandas keeps per-query results identical
-    to the single-query operator; duplicate ids surfaced by several
-    tables for the same query are deduped before the global rank
-    window."""
+    probe mask inside one mapInPandas keeps per-query candidate sets
+    identical to the single-query operator; duplicate ids surfaced by
+    several tables for the same query are deduped before the global rank
+    window.  Same string-id casting caveat as
+    :func:`ivf_index_topk_many` — boundary ties on non-string id
+    columns break lexicographically, not numerically."""
     import pandas as pd
     from pyspark.sql import Window
 
@@ -551,17 +572,9 @@ def lsh_index_topk_many(
             parts = []
             for j, qid in enumerate(qids):
                 col = Smat[:, j]
-                live = np.flatnonzero(col > -np.inf)
-                if not len(live):
+                top = local_topk(col, ids, top_k)
+                if not len(top):
                     continue
-                k = min(top_k, len(live))
-                if k < len(live):
-                    part = live[np.argpartition(-col[live], k - 1)]
-                    kth = col[part[k - 1]]
-                    cand = live[col[live] >= kth]
-                else:
-                    cand = live
-                top = cand[np.lexsort((ids[cand], -col[cand]))[:k]]
                 parts.append(
                     pd.DataFrame({"query_id": qid, id_col: ids[top], "score": col[top]})
                 )

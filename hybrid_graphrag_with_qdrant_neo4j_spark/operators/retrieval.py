@@ -128,6 +128,22 @@ def queries_to_terms(spark, queries) -> DataFrame:
     ).select("query_id", F.col("t.term").alias("term"), F.lit(1.0).alias("score"))
 
 
+def embed_queries_to_pairs(queries: DataFrame) -> list:
+    """2-column (query_id, query_text) DataFrame -> [(query_id, vector)].
+
+    Embedding runs DISTRIBUTED through the same Arrow pandas UDF the
+    ingest side uses; only the finished Q x dim pairs reach the driver —
+    they are the probe/closure data every batch ANN consumer needs
+    driver-side anyway.  Shared by :func:`vector_search_many` and the
+    facade's indexed batch path (one place owns the 'query: ' prefix)."""
+    qid_col, qtext_col = queries.columns[:2]
+    embedded = queries.select(
+        F.col(qid_col).cast("string").alias("query_id"),
+        E.embed(F.col(qtext_col), prefix="query: ").alias("_qemb"),
+    ).collect()
+    return [(r[0], r[1]) for r in embedded]
+
+
 def vector_search_many(
     chunk_embeddings: DataFrame,
     queries,
@@ -149,18 +165,13 @@ def vector_search_many(
 
     Returns (query_id, <id_col>, score), at most top_k rows per query.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..functions import embedding as E2
-
     # Query embedding is DISTRIBUTED (VERDICT r3 'what's wrong' #2: the
     # old path embedded each query in a serial driver for-loop — a 1M-
     # query evaluation set meant 1M embed calls on one core before the
-    # cluster did anything).  Both input forms route through the same
-    # Arrow-batched pandas UDF the ingest side uses; the only driver-
-    # side materialization is the finished (query_id, vector) matrix —
-    # the exact bytes the scoring closure must ship to every task anyway
+    # cluster did anything).  Both input forms route through
+    # :func:`embed_queries_to_pairs`; the only driver-side
+    # materialization is the finished (query_id, vector) matrix — the
+    # exact bytes the scoring closure must ship to every task anyway
     # (closure-shipping IS the broadcast; Q x dim floats, bounded per
     # pass below).
     spark = chunk_embeddings.sparkSession
@@ -172,14 +183,9 @@ def vector_search_many(
         queries = spark.createDataFrame(
             [(str(q), str(t)) for q, t in queries], "query_id string, query_text string"
         )
-    qid_col, qtext_col = queries.columns[:2]
-    embedded = queries.select(
-        F.col(qid_col).cast("string").alias("query_id"),
-        E2.embed(F.col(qtext_col), prefix="query: ").alias("_qemb"),
-    ).collect()
     return _vector_search_many_vecs(
         chunk_embeddings,
-        [(r[0], r[1]) for r in embedded],
+        embed_queries_to_pairs(queries),
         top_k=top_k,
         id_col=id_col,
         emb_col=emb_col,
@@ -234,6 +240,8 @@ def _vector_search_many_vecs(
     out_schema = f"query_id string, {id_col} string, score double"
 
     def score_partition(batches):
+        from .ann_index import local_topk
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -242,23 +250,12 @@ def _vector_search_many_vecs(
             en = np.sqrt((M * M).sum(axis=1))
             denom = en[:, None] * qn[None, :]
             S = np.where(denom == 0.0, 0.0, num / np.where(denom == 0.0, 1.0, denom))
-            k = min(top_k, len(pdf))
             ids = np.asarray(pdf[id_col].astype(str).to_numpy(), dtype=np.str_)
             parts = []
             for j, qid in enumerate(qids):
-                # local top-k with the SAME (score desc, id asc) total
-                # order the global window uses (ADVICE r3: argpartition
-                # on score alone dropped tied boundary candidates
-                # arbitrarily -> partitioning-dependent results):
-                # argpartition narrows to the score->=kth candidate set
-                # (all boundary ties kept), lexsort breaks ties by id
-                if k < len(pdf):
-                    part = np.argpartition(-S[:, j], k - 1)
-                    kth = S[part[k - 1], j]
-                    cand = np.flatnonzero(S[:, j] >= kth)
-                else:
-                    cand = np.arange(len(pdf))
-                top = cand[np.lexsort((ids[cand], -S[cand, j]))[:k]]
+                # tie-aware local top-k in the global window's total
+                # order — shared helper (ann_index.local_topk)
+                top = local_topk(S[:, j], ids, top_k)
                 parts.append(
                     pd.DataFrame(
                         {"query_id": qid, id_col: ids[top], "score": S[top, j]}

@@ -154,6 +154,20 @@ class GraphRAG:
             )
         return t
 
+    def triplets(self, q: str, top_k: int = 10) -> DataFrame:
+        """The triplets leg alone (retrieval.py:607-637): capitalized-
+        phrase candidates (the raw query as fallback) -> per-entity
+        capped edge lookup.  Exposed separately so callers that already
+        have chunks (e.g. the interactive loop with context+triplets
+        both on) do not re-run the whole retrieval pipeline for it."""
+        cands = retrieval.query_entity_candidates(q) or [q]
+        probe = self.spark.createDataFrame(
+            [(c,) for c in cands], "entity_name string"
+        )
+        return retrieval.topk_triplets_per_entity(
+            self.table("edges"), probe, top_k=top_k
+        )
+
     def query(
         self,
         q: str,
@@ -184,14 +198,7 @@ class GraphRAG:
         ).select("chunk_id", "text", "score")
 
         if mode == "triplets":
-            cands = retrieval.query_entity_candidates(q) or [q]
-            probe = self.spark.createDataFrame(
-                [(c,) for c in cands], "entity_name string"
-            )
-            trip = retrieval.topk_triplets_per_entity(
-                self.table("edges"), probe, top_k=top_k
-            )
-            return {"chunks": chunks, "triplets": trip}
+            return {"chunks": chunks, "triplets": self.triplets(q, top_k=top_k)}
 
         return {"chunks": chunks, "triplets": None}
 
@@ -201,19 +208,12 @@ class GraphRAG:
         lsh_index_topk_many) when the KG has a written index;
         brute-force batch scan otherwise."""
         if self._ann is not None:
-            # embed the batch DISTRIBUTED (same pandas UDF as ingest),
-            # then collect only the finished (query_id, vector) pairs —
-            # the driver needs them to compute per-query probe lists
-            # against the K-row centroids table (K-row-scale data, the
-            # same collect read_ivf_centroids already does)
-            from ..functions import embedding as E2
-
-            qid_col, qtext_col = queries.columns[:2]
-            embedded = queries.select(
-                F.col(qid_col).cast("string").alias("query_id"),
-                E2.embed(F.col(qtext_col), prefix="query: ").alias("_qemb"),
-            ).collect()
-            qvecs = [(r[0], r[1]) for r in embedded]
+            # embed the batch DISTRIBUTED (retrieval.embed_queries_to_pairs
+            # — same pandas UDF as ingest); the driver needs the finished
+            # pairs to compute per-query probe lists against the K-row
+            # centroids table (K-row-scale data, the same collect
+            # read_ivf_centroids already does)
+            qvecs = retrieval.embed_queries_to_pairs(queries)
             idx = os.path.join(self._dir, ANN_INDEX_STAGE)
             id_col = self._ann.get("id_col", "chunk_id")
             if self._ann["family"] == "ivf":

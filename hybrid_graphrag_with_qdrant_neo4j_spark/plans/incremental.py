@@ -63,15 +63,61 @@ def _append(df: DataFrame, out_dir: str, stage: str, partition_by=None) -> None:
 def _bump_manifest(out_dir: str, stage: str, batch_id: str, n_rows_delta: int) -> None:
     """Mark a stage's snapshot as diverged from its batch fingerprint:
     a later build_kg resume must RECOMPUTE (fingerprint mismatch) rather
-    than silently reuse a table the batch pipeline didn't produce."""
+    than silently reuse a table the batch pipeline didn't produce.
+
+    The fingerprint is HASH-CHAINED per batch (24 hex chars + a marker),
+    not string-concatenated — a continuous ingest applying thousands of
+    micro-batches keeps O(1) manifests instead of an ever-growing chain
+    string; `n_batches` counts the appends for the audit trail, and the
+    exact applied-batch set lives in the :func:`_ledger_path` file."""
+    import hashlib
+
     man = load_manifest(out_dir, stage) or {"stage": stage}
-    man["fingerprint"] = f"{man.get('fingerprint', '')}+append:{batch_id}"
+    chained = hashlib.sha256(
+        f"{man.get('fingerprint', '')}|append:{batch_id}".encode()
+    ).hexdigest()[:24]
+    man["fingerprint"] = f"{chained}+appended"
+    man["n_batches"] = int(man.get("n_batches", 0)) + 1
+    man["last_batch_id"] = batch_id
     man["n_rows"] = int(man.get("n_rows", 0)) + int(n_rows_delta)
     path = _manifest_path(out_dir, stage)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path + ".tmp", "w", encoding="utf-8") as fh:
         json.dump(man, fh, indent=2)
     os.replace(path + ".tmp", path)
+
+
+def _ledger_path(kg_dir: str) -> str:
+    return os.path.join(kg_dir, "_applied_batches.jsonl")
+
+
+def _batch_applied(kg_dir: str, batch_id: str) -> bool:
+    """Exact membership in the append-only batch ledger (one JSON line
+    per applied batch).  A substring check on the fingerprint chain was
+    the round-4 review's data-loss finding: 'stream:1' is a prefix of
+    'stream:12', so an out-of-order retry of a never-applied batch was
+    silently skipped."""
+    try:
+        with open(_ledger_path(kg_dir), "r", encoding="utf-8") as fh:
+            return any(
+                json.loads(line).get("batch_id") == batch_id
+                for line in fh
+                if line.strip()
+            )
+    except OSError:
+        return False
+
+
+def _record_batch(kg_dir: str, batch_id: str, stats: dict) -> None:
+    import time
+
+    with open(_ledger_path(kg_dir), "a", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {"batch_id": batch_id, "applied_at_unix": int(time.time()), **stats}
+            )
+            + "\n"
+        )
 
 
 def append_batch(
@@ -89,15 +135,17 @@ def append_batch(
        "n_edges_touched", "n_edges_appended", "ann_index_appended"}
 
     Idempotent per ``batch_id``: every applied batch is recorded in the
-    edges manifest's fingerprint chain (``+append:<batch_id>``), and a
-    batch already in the chain returns ``{"skipped": True}`` without
-    touching any table — so a replayed streaming micro-batch (foreachBatch
+    ``_applied_batches.jsonl`` ledger (exact-match membership — NOT a
+    fingerprint-substring check, which treated a never-applied batch id
+    as applied whenever it was a prefix of an applied one), and a batch
+    already in the ledger returns ``{"skipped": True}`` without touching
+    any table — so a replayed streaming micro-batch (foreachBatch
     re-delivery after a crash mid-batch is still the caveat; re-delivery
-    after a COMPLETED batch is now a no-op) or a re-run CLI append
-    cannot double-append.
+    after a COMPLETED batch is a no-op) or a re-run CLI append cannot
+    double-append.  The ledger line carries the batch's stats, so it
+    doubles as the ingest audit log (`info` verb material).
     """
-    man = load_manifest(kg_dir, "edges")
-    if man and f"+append:{batch_id}" in man.get("fingerprint", ""):
+    if _batch_applied(kg_dir, batch_id):
         return {"skipped": True, "batch_id": batch_id}
     stats: dict = {}
 
@@ -367,6 +415,7 @@ def append_batch(
             df.unpersist()
         except Exception:
             pass
+    _record_batch(kg_dir, batch_id, stats)
     return stats
 
 

@@ -152,11 +152,9 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             )
             if settings["with_context"] and settings["include_triplets"]:
                 # the reference includes triplets alongside context
-                # chunks when both are on; stitch the triplet leg in
-                trip = rag.query(
-                    user_input, mode="triplets", top_k=settings["top_k"]
-                )["triplets"]
-                out["triplets"] = trip
+                # chunks when both are on; stitch in the triplet LEG
+                # only (not a second full retrieval run)
+                out["triplets"] = rag.triplets(user_input, settings["top_k"])
             _render_query_results(mode, out, settings["top_k"])
         except Exception as e:  # reference loop survives bad queries
             print(f"Error: {e}")
@@ -206,6 +204,14 @@ def _info_main(args) -> None:
             entry["data_files"] = n_files
             entry["data_bytes"] = n_bytes
         out[stage] = entry
+    ledger = os.path.join(args.kg_dir, "_applied_batches.jsonl")
+    if os.path.exists(ledger):
+        with open(ledger, "r", encoding="utf-8") as fh:
+            batches = [json.loads(line) for line in fh if line.strip()]
+        out["_applied_batches"] = {
+            "n_batches": len(batches),
+            "last": batches[-5:],
+        }
     print(json.dumps(out, indent=2))
 
 

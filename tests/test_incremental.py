@@ -155,7 +155,39 @@ def test_append_invalidates_stage_fingerprints(spark, tmp_path, batches):
     fp_before = load_manifest(kg, "edges")["fingerprint"]
     append_batch(spark, kg, batch2, batch_id="b2")
     man = load_manifest(kg, "edges")
-    assert man["fingerprint"] == f"{fp_before}+append:b2"
+    # hash-chained (bounded per batch), diverged from the build chain
+    assert man["fingerprint"] != fp_before
+    assert man["fingerprint"].endswith("+appended")
+    assert man["n_batches"] == 1 and man["last_batch_id"] == "b2"
+    # a second batch chains again without growing the string
+    append_batch(spark, kg, batch2.limit(0), batch_id="b3")
+    man2 = load_manifest(kg, "edges")
+    assert man2["fingerprint"] != man["fingerprint"]
+    assert len(man2["fingerprint"]) == len(man["fingerprint"])
+    assert man2["n_batches"] == 2
+
+
+def test_batch_id_prefix_is_not_treated_as_applied(spark, tmp_path, batches):
+    """Round-4 review data-loss finding: 'b1' is a prefix of 'b12' — an
+    exact-membership ledger must NOT skip a never-applied batch whose id
+    prefixes an applied one."""
+    batch1, batch2 = batches
+    kg = str(tmp_path / "pfx")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    append_batch(spark, kg, batch2, batch_id="stream:12")
+    _, edges_mid = _table_sets(spark, kg)
+    extra = _pages_df(
+        spark, [_page(40, "Initech Group partnered with Umbrella Works on a joint venture.")]
+    )
+    stats = append_batch(spark, kg, extra, batch_id="stream:1")
+    assert stats.get("skipped") is not True, "prefix id wrongly treated as applied"
+    assert stats["n_edges_appended"] >= 1
+    _, edges_after = _table_sets(spark, kg)
+    assert len(edges_after) > len(edges_mid)
+    # and the genuinely-applied id IS skipped
+    assert append_batch(spark, kg, extra, batch_id="stream:1") == {
+        "skipped": True, "batch_id": "stream:1",
+    }
 
 
 def test_streaming_kg_ingest_two_batches(spark, tmp_path, batches):
