@@ -321,3 +321,29 @@ def test_append_dedups_refetched_urls(spark, tmp_path, batches):
     _, edges_after = _table_sets(spark, kg)
     # old page-0 edges not duplicated (chunk_id would collide otherwise)
     assert len(edges_after) == len(edges_before) + stats["n_edges_appended"]
+
+
+def test_facade_survives_compaction_via_refresh(spark, tmp_path, batches):
+    """compact_tables swaps every snapshot dir under a live facade; a
+    refreshed facade re-plans over the new listing and answers
+    identically."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import (
+        compact_tables,
+    )
+
+    batch1, batch2 = batches
+    kg = str(tmp_path / "cref")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    append_batch(spark, kg, batch2, batch_id="b2")
+    rag = GraphRAG(spark, kg)
+    before = {
+        (r["chunk_id"], round(r["score"], 9))
+        for r in rag.query("Acme Corporation", top_k=5)["chunks"].collect()
+    }
+    compact_tables(spark, kg, target_partitions=1)
+    rag.refresh()
+    after = {
+        (r["chunk_id"], round(r["score"], 9))
+        for r in rag.query("Acme Corporation", top_k=5)["chunks"].collect()
+    }
+    assert after == before and after
