@@ -2564,7 +2564,7 @@ def oracle_sql() -> dict[str, str]:
           ) WHERE rn <= 3
         ),
         scored AS (
-          SELECT q.query_id, CAST(e.vec_id AS VARCHAR) AS vec_id,
+          SELECT q.query_id, e.vec_id,
                  ROUND(CASE WHEN {norm.format(x="e.embedding")} = 0.0
                             OR {norm.format(x="q.embedding")} = 0.0 THEN 0.0
                        ELSE {dot.format(a="e.embedding", b="q.embedding")}
@@ -2590,9 +2590,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     # batch LSH: per-query bits -> per-(query, table) hamming -> radius-1
-    # candidate union -> per-query exact rerank + top-10.  vec_id cast to
-    # VARCHAR and tie-broken lexicographically, matching the Spark
-    # operator's string-id contract.
+    # candidate union -> per-query exact rerank + top-10.  vec_id keeps
+    # its numeric type (r5: the batch operators preserve the input id
+    # dtype, so boundary ties break numerically like N single calls).
     sqls["ann_lsh_index_many_topk"] = f"""
         WITH planes(t, b, vals) AS (VALUES
           {_planes_values}
@@ -2619,7 +2619,7 @@ def oracle_sql() -> dict[str, str]:
           SELECT DISTINCT query_id, vec_id FROM ham WHERE d <= 1
         ),
         scored AS (
-          SELECT c.query_id, CAST(e.vec_id AS VARCHAR) AS vec_id,
+          SELECT c.query_id, e.vec_id,
                  ROUND(CASE WHEN {ana} = 0.0
                             OR {norm.format(x="qe.embedding")} = 0.0 THEN 0.0
                        ELSE {dot.format(a="e.embedding", b="qe.embedding")}

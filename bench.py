@@ -292,15 +292,38 @@ def main() -> None:
     # scaling-efficiency evidence (north rule): produced by
     # scripts/scaling_bench.py into BENCH/scaling_latest.json; embed it
     # so the single BENCH_r{N}.json line carries the two-level numbers
-    scaling_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling_latest.json"
-    )
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    scaling_path = os.path.join(bench_dir, "scaling_latest.json")
     if os.path.exists(scaling_path):
         try:
             with open(scaling_path) as fh:
                 out["scaling"] = json.load(fh)
         except Exception:
             pass
+
+    # the FULL record (rep spreads, steal ticks, nested scaling pairs)
+    # goes to a file; the printed line stays compact so the driver's
+    # tail capture parses it (VERDICT r4 'what's wrong' #3: r4's line
+    # outgrew the capture and BENCH_r04.json recorded "parsed": null)
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        with open(os.path.join(bench_dir, "bench_final.json"), "w") as fh:
+            json.dump(out, fh, indent=2)
+        out["detail_file"] = "BENCH/bench_final.json"
+    except OSError:
+        pass
+    compact = {k: v for k, v in out.items() if k not in ("rep_detail", "scaling")}
+    sc = out.get("scaling")
+    if sc:
+        compact["scaling"] = {
+            "pages": sc.get("pages"),
+            "low_cpus": sc.get("low", {}).get("cpus"),
+            "low_docs_per_sec": sc.get("low", {}).get("docs_per_sec"),
+            "high_cpus": sc.get("high", {}).get("cpus"),
+            "high_docs_per_sec": sc.get("high", {}).get("docs_per_sec"),
+            "efficiency": sc.get("efficiency"),
+            "pinned": sc.get("pinned"),
+        }
 
     # stop Spark BEFORE printing: the pyspark daemon's BrokenPipe
     # shutdown noise otherwise lands after the JSON line and the driver
@@ -309,7 +332,7 @@ def main() -> None:
     time.sleep(2.0)
     sys.stdout.flush()
     sys.stderr.flush()
-    print(json.dumps(out))
+    print(json.dumps(compact))
     sys.stdout.flush()
     os._exit(0)
 

@@ -49,12 +49,17 @@ class GraphRAG:
         kg_dir: str,
         n_probe: int = 8,
         hamming_radius: int = 1,
+        max_queries_per_pass: int = 4096,
     ):
         self.spark = spark
         self._dir = kg_dir
         self._cache: dict[str, DataFrame] = {}
         self.n_probe = n_probe
         self.hamming_radius = hamming_radius
+        # bound on the per-pass query closure of every batch vector leg
+        # (indexed and brute-force alike): a 100k-query evaluation set
+        # becomes ceil(Q/cap) bounded scans, never one multi-GB closure
+        self.max_queries_per_pass = max_queries_per_pass
         self._ann = load_manifest(kg_dir, ANN_INDEX_STAGE)
         if self._ann is not None and not os.path.isdir(
             os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors")
@@ -225,6 +230,7 @@ class GraphRAG:
                     n_probe=self.n_probe,
                     id_col=id_col,
                     centroids=self._ivf_centroids(),
+                    max_queries_per_pass=self.max_queries_per_pass,
                 )
             params = self._ann.get("params", {})
             return AI.lsh_index_topk_many(
@@ -236,9 +242,13 @@ class GraphRAG:
                 n_tables=params.get("n_tables", 4),
                 hamming_radius=self.hamming_radius,
                 id_col=id_col,
+                max_queries_per_pass=self.max_queries_per_pass,
             )
         return retrieval.vector_search_many(
-            self.table("chunk_embeddings"), queries, top_k=top_k
+            self.table("chunk_embeddings"),
+            queries,
+            top_k=top_k,
+            max_queries_per_pass=self.max_queries_per_pass,
         )
 
     def query_many(

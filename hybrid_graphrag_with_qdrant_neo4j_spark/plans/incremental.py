@@ -386,10 +386,18 @@ def append_batch(
     _bump_manifest(kg_dir, "edges", batch_id, stats["n_edges_appended"])
 
     # ---- 5. ANN index maintenance ------------------------------------
+    # Skipped when the batch produced no chunks (every URL deduped away —
+    # a normal crawl re-fetch): append_lsh_index's dim inference would
+    # otherwise first() an empty DataFrame and raise, and via
+    # start_incremental_kg_ingest the foreachBatch exception wedges the
+    # stream on checkpoint retry (ADVICE r4 medium — the same failure
+    # class streaming/ingest.py already guards for IVF training).
     ann_man = load_manifest(kg_dir, ANN_INDEX_STAGE)
     stats["ann_index_appended"] = False
-    if ann_man is not None and os.path.isdir(
-        os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors")
+    if (
+        stats["n_chunks"] > 0
+        and ann_man is not None
+        and os.path.isdir(os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors"))
     ):
         from ..operators import ann_index as AI
 
@@ -406,6 +414,9 @@ def append_batch(
                 os.path.join(kg_dir, ANN_INDEX_STAGE),
                 bits=params.get("bits", 8),
                 n_tables=params.get("n_tables", 4),
+                # manifest-recorded width; E.EMBED_DIM fallback covers
+                # pre-r5 manifests (no first() job per micro-batch)
+                dim=params.get("dim", E.EMBED_DIM),
                 id_col=id_col,
             )
         stats["ann_index_appended"] = True
@@ -417,6 +428,107 @@ def append_batch(
             pass
     _record_batch(kg_dir, batch_id, stats)
     return stats
+
+
+def reindex_ann(
+    spark: SparkSession,
+    kg_dir: str,
+    family: str | None = None,
+    k: int | None = None,
+    bits: int | None = None,
+    n_tables: int | None = None,
+    lloyd_iters: int = 2,
+) -> dict:
+    """Re-train the ANN quantizer over the CURRENT chunk_embeddings and
+    rebuild the bucketed layout (VERDICT r4 'what's missing' #1:
+    ``append_ivf_index`` freezes the centroids forever, so a
+    distribution-shifted crawl degrades recall at fixed n_probe — e.g. a
+    new content cluster that straddles two stale centroids splits its
+    neighbors across buckets a query doesn't all probe).  The reference
+    analogue is Qdrant's background optimizer re-segmenting a collection
+    (qdrant_connection.py:67-86 builds the index; Qdrant maintains it).
+
+    Swap discipline: the new index (vectors + centroids + manifest) is
+    built COMPLETE under ``<kg>/_ann_index_rebuild``, then the whole
+    stage directory is swapped in two renames.  Everything a reader
+    needs moves together, so there is no window where new vectors pair
+    with a stale quantizer (the per-subdir swap the compactor uses would
+    have one); a kill between the renames self-heals on the next call —
+    the old index was never deleted before the second rename.  Live
+    facades pick the rebuild up via ``GraphRAG.refresh()``.
+
+    Parameters default to the manifest's recorded family/params; pass
+    overrides to re-shape the index (e.g. grow k as the corpus grows).
+    Returns {"family", "n_vectors", "params", "elapsed_sec"}.
+    """
+    import hashlib
+    import shutil
+    import time as _time
+
+    from ..operators import ann_index as AI
+
+    stage_dir = os.path.join(kg_dir, ANN_INDEX_STAGE)
+    old_dir = os.path.join(kg_dir, "_ann_index_old")
+    rebuild = os.path.join(kg_dir, "_ann_index_rebuild")
+    # self-heal a prior reindex killed between the renames (stage dir
+    # gone, old still on disk), then discard any stale leftovers
+    if not os.path.isdir(stage_dir) and os.path.isdir(old_dir):
+        os.rename(old_dir, stage_dir)
+    for d in (old_dir, rebuild):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    man = load_manifest(kg_dir, ANN_INDEX_STAGE)
+    if man is None or not os.path.isdir(os.path.join(stage_dir, "vectors")):
+        raise ValueError(f"no ANN index to reindex at {stage_dir}")
+    params = dict(man.get("params", {}))
+    family = family or man.get("family")
+    k = k or params.get("k", 64)
+    bits = bits or params.get("bits", 8)
+    n_tables = n_tables or params.get("n_tables", 4)
+    id_col = man.get("id_col", "chunk_id")
+
+    emb = spark.read.parquet(_data_path(kg_dir, "chunk_embeddings")).select(
+        F.col("chunk_id").alias(id_col), "embedding"
+    )
+    t0 = _time.perf_counter()
+    if family == "ivf":
+        AI.write_ivf_index(emb, rebuild, k=k, lloyd_iters=lloyd_iters, id_col=id_col)
+    elif family == "lsh":
+        AI.write_lsh_index(
+            emb, rebuild, bits=bits, n_tables=n_tables,
+            dim=params.get("dim", E.EMBED_DIM), id_col=id_col,
+        )
+    else:
+        raise ValueError(f"unknown ann index family: {family!r} (ivf|lsh)")
+    n_vectors = spark.read.parquet(os.path.join(rebuild, "vectors")).count()
+
+    new_params = {**params, "k": k, "bits": bits, "n_tables": n_tables}
+    chained = hashlib.sha256(
+        f"{man.get('fingerprint', '')}|reindex:{family}:{k}:{bits}:{n_tables}".encode()
+    ).hexdigest()[:24]
+    new_man = {
+        "stage": ANN_INDEX_STAGE,
+        "fingerprint": f"{chained}+reindexed",
+        "family": family,
+        "id_col": id_col,
+        "params": new_params,
+        "n_rows": n_vectors,
+        "n_reindexes": int(man.get("n_reindexes", 0)) + 1,
+        "completed_at_unix": int(_time.time()),
+    }
+    with open(os.path.join(rebuild, "_manifest.json"), "w", encoding="utf-8") as fh:
+        json.dump(new_man, fh, indent=2)
+
+    os.rename(stage_dir, old_dir)
+    os.rename(rebuild, stage_dir)
+    shutil.rmtree(old_dir)
+    return {
+        "family": family,
+        "n_vectors": n_vectors,
+        "params": new_params,
+        "elapsed_sec": round(_time.perf_counter() - t0, 2),
+    }
 
 
 # stages that accumulate one file per (append batch x partition) under

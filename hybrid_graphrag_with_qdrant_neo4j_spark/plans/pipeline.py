@@ -82,7 +82,12 @@ def write_ann_index_stage(
     if family == "ivf":
         AI.write_ivf_index(emb, idx_dir, k=k, id_col=id_col)
     elif family == "lsh":
-        AI.write_lsh_index(emb, idx_dir, bits=bits, n_tables=n_tables, id_col=id_col)
+        # pipeline embeddings are always E.embed output -> known width;
+        # recorded in params so append paths never re-infer it
+        AI.write_lsh_index(
+            emb, idx_dir, bits=bits, n_tables=n_tables, dim=E.EMBED_DIM,
+            id_col=id_col,
+        )
     else:
         raise ValueError(f"unknown ann index family: {family!r} (ivf|lsh)")
     manifest = {
@@ -90,7 +95,7 @@ def write_ann_index_stage(
         "fingerprint": fingerprint,
         "family": family,
         "id_col": id_col,
-        "params": {"k": k, "bits": bits, "n_tables": n_tables},
+        "params": {"k": k, "bits": bits, "n_tables": n_tables, "dim": E.EMBED_DIM},
         "completed_at_unix": int(time.time()),
     }
     tmp = _manifest_path(out_dir, ANN_INDEX_STAGE) + ".tmp"

@@ -366,6 +366,20 @@ def main() -> None:
     cp.add_argument("--kg-dir", required=True)
     cp.add_argument("--partitions", type=int, default=None)
 
+    rx = sub.add_parser(
+        "reindex",
+        help="re-train the ANN quantizer over the current chunk embeddings "
+        "and rebuild the bucketed index (recall refresh under "
+        "distribution drift; reference: Qdrant's background optimizer)",
+    )
+    rx.add_argument("--kg-dir", required=True)
+    rx.add_argument("--family", choices=["ivf", "lsh"], default=None,
+                    help="switch index family (default: keep the manifest's)")
+    rx.add_argument("--ann-k", type=int, default=None, help="new IVF centroid count")
+    rx.add_argument("--ann-bits", type=int, default=None, help="new LSH code bits")
+    rx.add_argument("--ann-tables", type=int, default=None, help="new LSH tables")
+    rx.add_argument("--lloyd-iters", type=int, default=2)
+
     ip = sub.add_parser(
         "interactive",
         help="interactive query session (reference: graphrag interactive)",
@@ -423,6 +437,27 @@ def main() -> None:
         spark = get_spark(app_name="kg_compact")
         print(json.dumps(
             compact_tables(spark, args.kg_dir, target_partitions=args.partitions),
+            indent=2,
+        ))
+        spark.stop()
+        return
+    if args.cmd == "reindex":
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import (
+            reindex_ann,
+        )
+
+        spark = get_spark(app_name="kg_reindex")
+        print(json.dumps(
+            reindex_ann(
+                spark,
+                args.kg_dir,
+                family=args.family,
+                k=args.ann_k,
+                bits=args.ann_bits,
+                n_tables=args.ann_tables,
+                lloyd_iters=args.lloyd_iters,
+            ),
             indent=2,
         ))
         spark.stop()

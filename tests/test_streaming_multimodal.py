@@ -504,11 +504,13 @@ def test_lsh_index_topk_many_equals_per_query(spark, tmp_path):
     many = ann_index.lsh_index_topk_many(
         spark, idx, qvecs, top_k=8, bits=8, n_tables=3, hamming_radius=1
     )
+    # r5: the batch twin preserves the input id dtype (no string cast)
+    assert many.schema["vec_id"].dataType.simpleString() == "bigint"
     got = {(r["query_id"], r["vec_id"], r["score"]) for r in many.collect()}
     want = set()
     for qid, qv in qvecs:
         one = ann_index.lsh_index_topk(
             spark, idx, qv, top_k=8, bits=8, n_tables=3, hamming_radius=1
         )
-        want |= {(qid, str(r["vec_id"]), r["score"]) for r in one.collect()}
+        want |= {(qid, r["vec_id"], r["score"]) for r in one.collect()}
     assert got == want and got
