@@ -166,6 +166,42 @@ def incremental_similarity_pairs(
     )
 
 
+def incremental_similarity_pairs_bruteforce(
+    new_entities: DataFrame,
+    all_entities: DataFrame,
+    threshold: float = LINK_THRESHOLD,
+) -> DataFrame:
+    """Exact one-sided pair generation: new x all cross-scoring with >=1
+    new endpoint — the append-path twin of
+    :func:`similarity_pairs_bruteforce`.  ``plans.incremental``
+    dispatches here below the same size gate build_kg uses for exact
+    pairing, so append_batch's SET-EQUAL-to-rebuild invariant is EXACT
+    at that scale (ADVICE r4: banded blocking misses a true >=threshold
+    pair with ~1e-5 probability per pair; the rebuild's exact path would
+    merge it, the banded append would not).  The new side is small by
+    construction, so AQE broadcasts it; cost is O(|new| x |all|) exact
+    cosines — the gate keeps that bounded."""
+    n = new_entities.select(
+        F.col("name").alias("n_name"), F.col("embedding").alias("n_emb")
+    )
+    a = all_entities.select(
+        F.col("name").alias("a_name"), F.col("embedding").alias("a_emb")
+    )
+    return (
+        n.join(a, F.col("n_name") != F.col("a_name"))
+        .select(
+            F.least("n_name", "a_name").alias("name_a"),
+            F.greatest("n_name", "a_name").alias("name_b"),
+            F.col("n_emb").alias("emb_a"),
+            F.col("a_emb").alias("emb_b"),
+        )
+        .dropDuplicates(["name_a", "name_b"])
+        .withColumn("cos", E.cosine_pairs_udf(F.col("emb_a"), F.col("emb_b")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("name_a", "name_b")
+    )
+
+
 def similarity_pairs_bruteforce(
     entities: DataFrame, threshold: float = LINK_THRESHOLD
 ) -> DataFrame:

@@ -25,7 +25,11 @@ SET-EQUAL to a full build_kg over the concatenated pages — the min-name
 canonical rule makes the incremental contraction exact, because an old
 component's canonical IS its minimum member, so the group minimum over
 {touched canonicals + new names} equals the minimum over the full
-merged membership.
+merged membership.  Pair DISCOVERY is exact below the
+``link_bruteforce_under`` gate (one-sided brute-force cross-score, the
+same exactness class build_kg uses at that size); above the gate both
+paths use the same seeded banded LSH, where equality holds up to the
+banding's ~1e-5-per-pair miss probability (ADVICE r4).
 
 Scale notes: the contracted CC graph is O(batch alias pairs), not O(all
 entities); the edges rewrite is a scan with a broadcast relabel map
@@ -99,11 +103,15 @@ def _batch_applied(kg_dir: str, batch_id: str) -> bool:
     silently skipped."""
     try:
         with open(_ledger_path(kg_dir), "r", encoding="utf-8") as fh:
-            return any(
-                json.loads(line).get("batch_id") == batch_id
-                for line in fh
-                if line.strip()
-            )
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                # 'started' marker lines are NOT completions: a batch
+                # that crashed mid-apply must retry, not skip
+                if rec.get("batch_id") == batch_id and rec.get("status") != "started":
+                    return True
+        return False
     except OSError:
         return False
 
@@ -120,6 +128,49 @@ def _record_batch(kg_dir: str, batch_id: str, stats: dict) -> None:
         )
 
 
+def _batch_started_unfinished(kg_dir: str, batch_id: str) -> bool:
+    """True when a prior run logged 'started' for this batch but never
+    logged completion — the crash-window detector: some of the batch's
+    appends may already be on disk, so a blind retry can double-append
+    anything past the text stage (URL dedup only protects text/chunks
+    once the text append landed)."""
+    started = finished = False
+    try:
+        with open(_ledger_path(kg_dir), "r", encoding="utf-8") as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec.get("batch_id") != batch_id:
+                    continue
+                if rec.get("status") == "started":
+                    started = True
+                else:
+                    finished = True
+    except OSError:
+        return False
+    return started and not finished
+
+
+def _record_batch_started(kg_dir: str, batch_id: str) -> None:
+    import time
+
+    # cold-start: the marker is the FIRST write into a brand-new KG dir
+    # (streaming bootstrap calls append_batch before any table exists)
+    os.makedirs(kg_dir, exist_ok=True)
+    with open(_ledger_path(kg_dir), "a", encoding="utf-8") as fh:
+        fh.write(
+            json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "status": "started",
+                    "started_at_unix": int(time.time()),
+                }
+            )
+            + "\n"
+        )
+
+
 def append_batch(
     spark: SparkSession,
     kg_dir: str,
@@ -128,49 +179,100 @@ def append_batch(
     max_tokens: int = 200,
     num_partitions: int = 32,
     dedup_urls: bool = True,
+    count_changed_urls: bool = True,
+    link_bruteforce_under: int = 50_000,
 ) -> dict:
     """Append ``new_pages`` into the KG at ``kg_dir``; returns stats:
 
-      {"n_pages", "n_chunks", "n_new_entities", "n_relabeled_components",
-       "n_edges_touched", "n_edges_appended", "ann_index_appended"}
+      {"n_pages", "n_chunks", "n_urls_changed", "n_new_entities",
+       "n_relabeled_components", "n_edges_touched", "n_edges_appended",
+       "ann_index_appended"}
 
-    Idempotent per ``batch_id``: every applied batch is recorded in the
-    ``_applied_batches.jsonl`` ledger (exact-match membership — NOT a
-    fingerprint-substring check, which treated a never-applied batch id
-    as applied whenever it was a prefix of an applied one), and a batch
-    already in the ledger returns ``{"skipped": True}`` without touching
-    any table — so a replayed streaming micro-batch (foreachBatch
-    re-delivery after a crash mid-batch is still the caveat; re-delivery
-    after a COMPLETED batch is a no-op) or a re-run CLI append cannot
-    double-append.  The ledger line carries the batch's stats, so it
-    doubles as the ingest audit log (`info` verb material).
+    Idempotent per ``batch_id`` FOR COMPLETED BATCHES: every applied
+    batch is recorded in the ``_applied_batches.jsonl`` ledger
+    (exact-match membership — NOT a fingerprint-substring check, which
+    treated a never-applied batch id as applied whenever it was a prefix
+    of an applied one), and a batch already in the ledger returns
+    ``{"skipped": True}`` without touching any table — a replayed
+    streaming micro-batch or a re-run CLI append cannot double-append.
+    Crash-window caveat (ADVICE r4): a run killed MID-apply leaves
+    partial appends that the completion ledger does not cover — URL
+    dedup shields text/chunks only once the text append landed, and the
+    later stages (terms/triples/mentions onward) have no dedup key.  A
+    'started' marker line is therefore written before the first append;
+    a retry that finds started-without-completed proceeds (the batch
+    must eventually apply) but logs a warning so an operator can audit
+    for double-appended rows.  Iceberg's atomic multi-table commit is
+    the production fix; under parquet, ``compact_tables`` +
+    row-level inspection is the repair path.
+
+    Re-fetched URLs with CHANGED content are dropped by keep-first
+    dedup but COUNTED (``n_urls_changed`` in stats + ledger) so a crawl
+    operator can see revision mass build up; row-level revision
+    management is an Iceberg MERGE shape, out of scope for the append
+    path.  Set ``count_changed_urls=False`` to skip the content-hash
+    comparison (it reads the text column of the matched snapshot rows,
+    not just doc_id).
     """
     if _batch_applied(kg_dir, batch_id):
         return {"skipped": True, "batch_id": batch_id}
+    if _batch_started_unfinished(kg_dir, batch_id):
+        import warnings
+
+        warnings.warn(
+            f"batch {batch_id!r} has a 'started' ledger entry but no "
+            "completion: a prior run crashed mid-apply and some stages "
+            "may already hold this batch's rows; retrying will re-append "
+            "stages past the URL-dedup shield (audit with the `info` "
+            "verb / compact_tables).",
+            stacklevel=2,
+        )
     stats: dict = {}
+    _record_batch_started(kg_dir, batch_id)
 
     # ---- 1. extraction stages over the new batch only ----------------
     p = pages_src.repartition_by_url(new_pages, num_partitions)
     text_b = pages_src.with_doc_id(
         pages_src.with_extracted_text(p, out_col="text")
     ).select("url", "warc_ts", "doc_id", "text", "lang")
+    # eager localCheckpoint, not persist: the dedup branch below reads
+    # the text snapshot this function APPENDS to — a lazy lineage
+    # re-evaluated after that append would exclude the batch's own rows
+    # (observed: the chunks append silently became empty).  Also
+    # collapses the extraction UDF chain to one pass for the whole batch.
+    stats["n_urls_changed"] = 0
     if dedup_urls and os.path.isdir(_data_path(kg_dir, "text")):
         # a crawl re-fetches the same page forever (SURVEY: streaming
         # first-seen dedup is the content-level twin); URL-level dedup
         # here keeps a re-delivered page from double-appending its
         # chunks/terms/triples.  Keep-first semantics: the already-
-        # ingested snapshot wins; a re-crawl with CHANGED content is a
-        # revision-management problem (Iceberg row-level MERGE), out of
-        # scope for the append path.  The anti-join reads only the
-        # doc_id column of the text snapshot (column-pruned scan).
-        seen = spark.read.parquet(_data_path(kg_dir, "text")).select("doc_id")
-        text_b = text_b.join(seen, "doc_id", "left_anti")
-    # eager localCheckpoint, not persist: text_b's anti-join reads the
-    # text snapshot this function APPENDS to below — a lazy lineage
-    # re-evaluated after that append would exclude the batch's own rows
-    # (observed: the chunks append silently became empty).  Also
-    # collapses the extraction UDF chain to one pass for the whole batch.
-    text_b = text_b.localCheckpoint()
+        # ingested snapshot wins.  The anti-join reads only the doc_id
+        # column of the text snapshot (column-pruned scan).
+        text_all = text_b.localCheckpoint()
+        seen = spark.read.parquet(_data_path(kg_dir, "text"))
+        if count_changed_urls:
+            # revision accounting (VERDICT r4 next-round #5): dropped
+            # re-fetches whose content hash differs from the stored
+            # snapshot.  Eager count BEFORE any append, so the snapshot
+            # read sees only pre-batch files.  Content compare via
+            # xxhash64 — the equi-join on doc_id broadcasts the small
+            # batch side, one pruned (doc_id, text) scan of the table.
+            stats["n_urls_changed"] = (
+                text_all.select(
+                    "doc_id", F.xxhash64("text").alias("_new_h")
+                )
+                .join(
+                    seen.select("doc_id", F.xxhash64("text").alias("_old_h")),
+                    "doc_id",
+                )
+                .filter(F.col("_new_h") != F.col("_old_h"))
+                .count()
+            )
+        text_b = text_all.join(
+            seen.select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint()
+    else:
+        text_b = text_b.localCheckpoint()
     chunks_b = chunker.chunk_documents(text_b, max_tokens).persist()
     en_b = chunks_b.filter(F.col("lang") == "en")
     triples_b = triples_op.triples_raw(en_b).persist()
@@ -189,18 +291,25 @@ def append_batch(
     _append(text_b, kg_dir, "text", partition_by=["lang"])
     _append(chunks_b, kg_dir, "chunks", partition_by=["lang"])
     _append(emb_b, kg_dir, "chunk_embeddings")
-    terms_b = ngrams.term_chunk_edges(en_b)
+    # terms/mentions persisted around their append so the real appended
+    # row counts reach the manifests (ADVICE r4: bumping with delta=0
+    # left n_rows stale for half the stages and the `info` verb showed
+    # inconsistent counts across one KG); their inputs are persisted, so
+    # the count pass re-reads cached chunk/triple rows, not the UDFs
+    terms_b = ngrams.term_chunk_edges(en_b).persist()
+    mentions_b = triples_op.mentions(triples_b).persist()
     _append(terms_b, kg_dir, "term_chunk_edges")
     _append(triples_b, kg_dir, "triples_raw")
-    _append(triples_op.mentions(triples_b), kg_dir, "mentions")
+    _append(mentions_b, kg_dir, "mentions")
     for stage, delta in (
         ("text", stats["n_pages"]),
         ("chunks", stats["n_chunks"]),
         ("chunk_embeddings", stats["n_chunks"]),
+        ("term_chunk_edges", terms_b.count()),
+        ("triples_raw", triples_b.count()),
+        ("mentions", mentions_b.count()),
     ):
         _bump_manifest(kg_dir, stage, batch_id, delta)
-    for stage in ("term_chunk_edges", "triples_raw", "mentions"):
-        _bump_manifest(kg_dir, stage, batch_id, 0)
 
     # ---- 2. incremental entity linking -------------------------------
     # cold-start bootstrap: with no entities snapshot yet (first batch
@@ -222,9 +331,24 @@ def append_batch(
 
     if n_new:
         union_ents = existing.select("name", "embedding").unionByName(new_ents)
-        pairs_new = linking.incremental_similarity_pairs(new_ents, union_ents)
+        # exact-vs-banded dispatch mirrors build_kg (ADVICE r4: the
+        # rebuild uses EXACT pairing below its size gates, so an
+        # always-banded append made the SET-EQUAL invariant only
+        # high-probability — a true >=0.96 pair colliding in no band
+        # (~1e-5/pair) merged in the rebuild but not here).  Below the
+        # gate the new x union cross-score is exact and cheap (new side
+        # broadcast); above it both paths are banded with the same
+        # seeded planes, and equality holds with the same probability.
+        n_union = existing.count() + n_new
+        if n_union <= link_bruteforce_under:
+            pairs_new = linking.incremental_similarity_pairs_bruteforce(
+                new_ents, union_ents
+            )
+        else:
+            pairs_new = linking.incremental_similarity_pairs(new_ents, union_ents)
+        pairs_new = pairs_new.persist()
         _append(pairs_new, kg_dir, "entity_pairs")
-        _bump_manifest(kg_dir, "entity_pairs", batch_id, 0)
+        _bump_manifest(kg_dir, "entity_pairs", batch_id, pairs_new.count())
         # contract existing components to their canonical id: CC then
         # runs on {new names} ∪ {touched canonicals} only
         old_map = existing.select("name", "canonical_id")
@@ -421,9 +545,15 @@ def append_batch(
             )
         stats["ann_index_appended"] = True
 
-    for df in (chunks_b, triples_b, emb_b, batch_ents, new_ents, relabel):
+    for df in (chunks_b, triples_b, emb_b, batch_ents, new_ents, relabel,
+               terms_b, mentions_b):
         try:
             df.unpersist()
+        except Exception:
+            pass
+    if n_new:
+        try:
+            pairs_new.unpersist()
         except Exception:
             pass
     _record_batch(kg_dir, batch_id, stats)

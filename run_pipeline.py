@@ -105,6 +105,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
         if low == "help":
             print("\nAvailable commands:")
             print("  <your question> - Query the GraphRAG system")
+            print("  batch <file> - Answer every query in <file> (one per"
+                  " line) as ONE job")
             print("  set top_k <number> - Set number of top results")
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
@@ -112,6 +114,49 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  show settings - Display current settings")
             print("  help - Show this help message")
             print("  exit/quit - Exit the session")
+            continue
+        if low.startswith("batch "):
+            # whole-file retrieval through query_many: the batch is ONE
+            # Spark plan (29x over a per-prompt loop at 64 queries), the
+            # same machinery the query-many verb uses — not a loop over
+            # rag.query
+            qpath = user_input.split(" ", 1)[1].strip()
+            try:
+                with open(qpath, "r", encoding="utf-8") as fh:
+                    batch_qs = [
+                        (f"q{i}", line.strip())
+                        for i, line in enumerate(fh)
+                        if line.strip()
+                    ]
+            except OSError as e:
+                print(f"Error: cannot read {qpath}: {e}")
+                continue
+            if not batch_qs:
+                print(f"No queries in {qpath}.")
+                continue
+            try:
+                mode = "context" if settings["with_context"] else "hybrid"
+                rows = rag.query_many(
+                    batch_qs,
+                    top_k=settings["top_k"],
+                    vector_weight=args.vector_weight,
+                    mode=mode,
+                    context_size=settings["context_size"],
+                ).collect()
+                by_query: dict = {}
+                for r in rows:
+                    by_query.setdefault(r["query_id"], []).append(r)
+                print(f"\nBATCH RESULTS ({len(batch_qs)} queries, one job):")
+                for qid, qtext in batch_qs:
+                    hits = by_query.get(qid, [])
+                    print(f"\n[{qid}] {qtext}  ({len(hits)} results)")
+                    for r in hits:
+                        flag = ""
+                        if mode == "context":
+                            flag = "MATCH " if r["is_match"] else "CTX   "
+                        print(f"  {flag}{r['chunk_id']}  score={r['score']:.3f}")
+            except Exception as e:  # loop survives bad batches too
+                print(f"Error: {e}")
             continue
         if low.startswith("set "):
             parts = user_input.split(" ", 2)
@@ -208,9 +253,18 @@ def _info_main(args) -> None:
     if os.path.exists(ledger):
         with open(ledger, "r", encoding="utf-8") as fh:
             batches = [json.loads(line) for line in fh if line.strip()]
+        applied = [b for b in batches if b.get("status") != "started"]
+        applied_ids = {b.get("batch_id") for b in applied}
+        # a 'started' marker with no completion = a crashed mid-apply
+        # batch; surfaced here so the operator sees it without grepping
+        unfinished = sorted(
+            {b.get("batch_id") for b in batches if b.get("status") == "started"}
+            - applied_ids
+        )
         out["_applied_batches"] = {
-            "n_batches": len(batches),
-            "last": batches[-5:],
+            "n_batches": len(applied),
+            "unfinished_batch_ids": unfinished,
+            "last": applied[-5:],
         }
     print(json.dumps(out, indent=2))
 

@@ -347,3 +347,79 @@ def test_facade_survives_compaction_via_refresh(spark, tmp_path, batches):
         for r in rag.query("Acme Corporation", top_k=5)["chunks"].collect()
     }
     assert after == before and after
+
+
+def test_changed_refetch_counted_not_reappended(spark, tmp_path, batches):
+    """A re-fetched url whose content CHANGED is still dropped by
+    keep-first dedup but now COUNTED (VERDICT r4 next-round #5:
+    revision mass must be visible to the crawl operator; row-level
+    revision management is an Iceberg MERGE shape)."""
+    import json
+
+    batch1, _ = batches
+    kg = str(tmp_path / "chg")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    n_chunks_before = spark.read.parquet(f"{kg}/chunks/data").count()
+    # page 0 re-fetched with DIFFERENT content + one genuinely new page
+    refetch = _pages_df(spark, [
+        _page(0, "Dana Fox left the company amid controversy."),
+        _page(31, "Erin Cole founded Initech Group in 2001."),
+    ])
+    stats = append_batch(spark, kg, refetch, batch_id="chg1")
+    assert stats["n_urls_changed"] == 1
+    assert stats["n_pages"] == 1  # the changed re-fetch was still dropped
+    # keep-first: stored text for page 0 is the ORIGINAL fetch
+    old = spark.read.parquet(f"{kg}/text/data").filter(
+        F.col("url") == "https://inc.example/p/0"
+    ).collect()
+    assert len(old) == 1 and "Dana Fox founded" in old[0]["text"]
+    assert spark.read.parquet(f"{kg}/chunks/data").count() == (
+        n_chunks_before + stats["n_chunks"]
+    )
+    # the completion ledger line carries the revision count
+    with open(f"{kg}/_applied_batches.jsonl") as fh:
+        recs = [json.loads(l) for l in fh if l.strip()]
+    done = [r for r in recs if r["batch_id"] == "chg1"
+            and r.get("status") != "started"]
+    assert len(done) == 1 and done[0]["n_urls_changed"] == 1
+
+
+def test_started_marker_warns_and_retries(spark, tmp_path, batches):
+    """A 'started' ledger line without completion (crash mid-apply) must
+    NOT be treated as applied: the retry proceeds — with a warning the
+    operator can audit on — and completes normally (ADVICE r4)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans import incremental as inc
+
+    batch1, batch2 = batches
+    kg = str(tmp_path / "crashw")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    # simulate the crash: marker written, batch never completed
+    inc._record_batch_started(kg, "crashed-1")
+    assert inc._batch_applied(kg, "crashed-1") is False
+    with pytest.warns(UserWarning, match="crashed mid-apply"):
+        stats = append_batch(spark, kg, batch2, batch_id="crashed-1")
+    assert stats.get("skipped") is not True and stats["n_pages"] == 2
+    # now completed: the replay is a clean no-op
+    assert append_batch(spark, kg, batch2, batch_id="crashed-1") == {
+        "skipped": True, "batch_id": "crashed-1",
+    }
+
+
+def test_append_banded_path_equality(spark, tmp_path, batches):
+    """Force the banded-LSH linking path (link_bruteforce_under=0) — the
+    plan every 100 TB append runs — and assert the same SET-EQUAL
+    outcome as the rebuild on this fixture (the crafted alias pair
+    collides in the bands here; exactness above the gate is
+    probabilistic by design, see module docstring)."""
+    batch1, batch2 = batches
+    inc_dir = str(tmp_path / "band")
+    build_kg(spark, batch1, inc_dir, input_fingerprint="b1")
+    stats = append_batch(
+        spark, inc_dir, batch2, batch_id="b2", link_bruteforce_under=0
+    )
+    assert stats["n_relabeled_components"] == 1
+    full_dir = str(tmp_path / "bandfull")
+    build_kg(spark, batch1.unionByName(batch2), full_dir, input_fingerprint="b12")
+    want = _table_sets(spark, full_dir)
+    got = _table_sets(spark, inc_dir)
+    assert got == want
