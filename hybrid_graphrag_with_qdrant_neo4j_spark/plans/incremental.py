@@ -171,6 +171,185 @@ def _record_batch_started(kg_dir: str, batch_id: str) -> None:
         )
 
 
+def _purge_doc_rows(
+    spark: SparkSession, kg_dir: str, changed: DataFrame, batch_id: str
+) -> DataFrame:
+    """Parquet-native row-level DELETE of every doc-scoped row belonging
+    to ``changed(doc_id, url)``: the revision shape Iceberg expresses as
+    ``MERGE ... WHEN MATCHED THEN DELETE`` becomes one columnar
+    anti-join rewrite per table here (each is a single scan + write that
+    preserves the table's partition layout; at 10^12 rows Iceberg
+    touches only the matched files, under plain parquet we rewrite the
+    table — same statement, different IO envelope).
+
+    ``edges`` is deliberately NOT purged: the caller always follows a
+    purge with :func:`gc_entities`, which rebuilds edges wholesale from
+    the retained triples — purging it here would pay the O(table) pass
+    twice.  Returns the purged docs' old chunk_ids (checkpointed —
+    needed for the ANN-vector purge after the chunks table is gone).
+    """
+    doc_keys = changed.select("doc_id").localCheckpoint()
+    url_keys = changed.select("url").localCheckpoint()
+    chunks_path = _data_path(kg_dir, "chunks")
+    if os.path.isdir(chunks_path):
+        old_chunk_ids = (
+            spark.read.parquet(chunks_path)
+            .join(F.broadcast(doc_keys), "doc_id", "left_semi")
+            .select("chunk_id")
+            .localCheckpoint()
+        )
+    else:
+        old_chunk_ids = spark.createDataFrame([], "chunk_id string")
+
+    def _rewrite(stage: str, keys: DataFrame, key_col: str, partition_by=None):
+        path = _data_path(kg_dir, stage)
+        if not os.path.isdir(path):
+            return
+        cur = spark.read.parquet(path)
+        n_before = cur.count()
+        # localCheckpoint BEFORE the overwrite: the kept plan reads the
+        # same files the write below deletes (persist is NOT a barrier)
+        kept = cur.join(F.broadcast(keys), key_col, "left_anti").localCheckpoint()
+        n_kept = kept.count()
+        w = kept.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        _bump_manifest(kg_dir, stage, f"{batch_id}:purge", n_kept - n_before)
+
+    _rewrite("text", doc_keys, "doc_id", ["lang"])
+    _rewrite("chunks", doc_keys, "doc_id", ["lang"])
+    _rewrite("chunk_embeddings", doc_keys, "doc_id")
+    _rewrite("term_chunk_edges", old_chunk_ids, "chunk_id")
+    _rewrite("triples_raw", url_keys, "url")
+    _rewrite("mentions", old_chunk_ids, "chunk_id")
+    return old_chunk_ids
+
+
+def _purge_ann_vectors(spark: SparkSession, kg_dir: str, old_chunk_ids: DataFrame) -> bool:
+    """Drop the purged chunks' vectors from the written ANN index (a
+    stale vector resolves to a dead chunk_id whose text the facade's
+    join can no longer find — results would silently shrink below k).
+    One anti-join rewrite of the bucketed vectors table, partition
+    layout preserved (``_centroid`` for IVF, ``(_table, _code)`` for
+    LSH), so partition pruning is untouched."""
+    man = load_manifest(kg_dir, ANN_INDEX_STAGE)
+    vec_dir = os.path.join(kg_dir, ANN_INDEX_STAGE, "vectors")
+    if man is None or not os.path.isdir(vec_dir):
+        return False
+    id_col = man.get("id_col", "chunk_id")
+    part_cols = ["_centroid"] if man.get("family") == "ivf" else ["_table", "_code"]
+    cur = spark.read.parquet(vec_dir)
+    kept = cur.join(
+        F.broadcast(old_chunk_ids.withColumnRenamed("chunk_id", id_col)),
+        id_col,
+        "left_anti",
+    ).localCheckpoint()
+    kept.write.mode("overwrite").partitionBy(*part_cols).parquet(vec_dir)
+    return True
+
+
+def gc_entities(spark: SparkSession, kg_dir: str, batch_id: str = "gc") -> dict:
+    """Re-derive the entity graph EXACTLY from what remains on disk
+    after row-level deletions: entities whose every supporting triple
+    was purged disappear, and components they bridged SPLIT — the two
+    effects no incremental relabel can express (edges store only the
+    canonical id, so membership must be recomputed from the raw
+    surfaces in ``triples_raw``).
+
+    Exactness argument: pair discovery is append-complete — build_kg
+    discovers all pairs among its names, and every later batch
+    discovers new x union pairs when the later name arrives — so the
+    ``entity_pairs`` ledger restricted to the retained names contains
+    every qualifying pair among them (same threshold, same exactness
+    class as a rebuild at the same scale).  Connected components over
+    that restriction therefore equals the rebuild's CC, and
+    ``canonical_edges`` over the retained triples equals its edge
+    table.  Cost: CC over the retained pairs + one O(table) rewrite of
+    entities/edges/entity_pairs — the extraction/chunking/embedding/
+    pair-DISCOVERY passes (the expensive part of a rebuild) never run.
+
+    Name embeddings are reused from the existing entities table (pruned
+    column read); only names the table lacks are re-embedded.
+    """
+    triples = spark.read.parquet(_data_path(kg_dir, "triples_raw"))
+    names = (
+        triples.select(F.col("subj").alias("name"))
+        .unionByName(triples.select(F.col("obj").alias("name")))
+        .dropDuplicates(["name"])
+        .localCheckpoint()
+    )
+    n_names = names.count()
+
+    pairs_path = _data_path(kg_dir, "entity_pairs")
+    n_pairs_dropped = 0
+    if os.path.isdir(pairs_path):
+        pairs_all = spark.read.parquet(pairs_path)
+        n_pairs_before = pairs_all.count()
+        pairs_kept = (
+            pairs_all.join(
+                names.withColumnRenamed("name", "name_a"), "name_a", "left_semi"
+            )
+            .join(names.withColumnRenamed("name", "name_b"), "name_b", "left_semi")
+            .dropDuplicates(["name_a", "name_b"])
+            .localCheckpoint()
+        )
+        n_pairs = pairs_kept.count()
+        n_pairs_dropped = n_pairs_before - n_pairs
+        pairs_kept.write.mode("overwrite").parquet(pairs_path)
+        _bump_manifest(kg_dir, "entity_pairs", f"{batch_id}:gc", -n_pairs_dropped)
+    else:
+        pairs_kept = spark.createDataFrame([], "name_a string, name_b string")
+
+    mapping = components.canonical_mapping(names, pairs_kept).localCheckpoint()
+
+    ents_path = _data_path(kg_dir, "entities")
+    man_ents = load_manifest(kg_dir, "entities")
+    # delta against the MANIFEST count, not a table scan: _bump adds the
+    # delta to the manifest value, so man + (new - man) = new — the
+    # final n_rows is exact even if the prior value had drifted
+    n_ents_before = int(man_ents.get("n_rows", 0)) if man_ents else 0
+    if os.path.isdir(ents_path):
+        ents_old = spark.read.parquet(ents_path)
+        kept_emb = (
+            ents_old.select("name", "embedding")
+            .join(names, "name", "left_semi")
+            .dropDuplicates(["name"])
+        )
+        missing_emb = names.join(ents_old.select("name"), "name", "left_anti").withColumn(
+            "embedding", E.embed(F.col("name"), prefix="passage: ")
+        )
+    else:
+        kept_emb = spark.createDataFrame([], "name string, embedding array<float>")
+        missing_emb = names.withColumn(
+            "embedding", E.embed(F.col("name"), prefix="passage: ")
+        )
+    entities_final = (
+        kept_emb.unionByName(missing_emb)
+        .join(mapping, "name")
+        .select("name", "canonical_id", "embedding")
+        .localCheckpoint()
+    )
+    n_entities = entities_final.count()
+    entities_final.write.mode("overwrite").parquet(ents_path)
+    _bump_manifest(kg_dir, "entities", f"{batch_id}:gc", n_entities - n_ents_before)
+
+    edges_path = _data_path(kg_dir, "edges")
+    man_edges = load_manifest(kg_dir, "edges")
+    n_edges_before = int(man_edges.get("n_rows", 0)) if man_edges else 0
+    edges_final = components.canonical_edges(
+        triples, mapping, n_entities=n_names
+    ).localCheckpoint()
+    n_edges = edges_final.count()
+    edges_final.write.mode("overwrite").parquet(edges_path)
+    _bump_manifest(kg_dir, "edges", f"{batch_id}:gc", n_edges - n_edges_before)
+    return {
+        "n_entities": n_entities,
+        "n_edges": n_edges,
+        "n_pairs_dropped": n_pairs_dropped,
+    }
+
+
 def append_batch(
     spark: SparkSession,
     kg_dir: str,
@@ -181,6 +360,7 @@ def append_batch(
     dedup_urls: bool = True,
     count_changed_urls: bool = True,
     link_bruteforce_under: int = 50_000,
+    on_changed: str = "keep_first",
 ) -> dict:
     """Append ``new_pages`` into the KG at ``kg_dir``; returns stats:
 
@@ -206,14 +386,30 @@ def append_batch(
     the production fix; under parquet, ``compact_tables`` +
     row-level inspection is the repair path.
 
-    Re-fetched URLs with CHANGED content are dropped by keep-first
-    dedup but COUNTED (``n_urls_changed`` in stats + ledger) so a crawl
-    operator can see revision mass build up; row-level revision
-    management is an Iceberg MERGE shape, out of scope for the append
-    path.  Set ``count_changed_urls=False`` to skip the content-hash
-    comparison (it reads the text column of the matched snapshot rows,
-    not just doc_id).
+    Re-fetched URLs with CHANGED content: under the default
+    ``on_changed='keep_first'`` they are dropped by keep-first dedup but
+    COUNTED (``n_urls_changed`` in stats + ledger) so a crawl operator
+    can see revision mass build up.  ``on_changed='replace'`` performs
+    row-level revision handling instead: the changed docs' rows are
+    DELETED from every doc-scoped table (text, chunks, chunk_embeddings,
+    term_chunk_edges, triples_raw, mentions — one anti-join rewrite per
+    table, partition layout preserved) plus their ANN-index vectors, the
+    fresh content re-ingests through the normal appends, and the entity
+    graph is repaired EXACTLY by :func:`gc_entities` (orphaned names
+    disappear, components a replaced doc bridged split — the result is
+    set-equal to a full rebuild over the revised corpus; tested).  A
+    replace batch reports ``n_docs_replaced`` + an ``entity_gc`` dict
+    and sets the incremental-relabel stats to None (superseded by the
+    wholesale repair).  Iceberg row-level MERGE is the production form
+    of the same statement (touches matched files instead of rewriting
+    tables).  Set ``count_changed_urls=False`` to skip the content-hash
+    comparison under keep_first (it reads the text column of the
+    matched snapshot rows, not just doc_id).
     """
+    if on_changed not in ("keep_first", "replace"):
+        raise ValueError(f"on_changed must be 'keep_first' or 'replace', got {on_changed!r}")
+    if on_changed == "replace" and not dedup_urls:
+        raise ValueError("on_changed='replace' requires dedup_urls=True")
     if _batch_applied(kg_dir, batch_id):
         return {"skipped": True, "batch_id": batch_id}
     if _batch_started_unfinished(kg_dir, batch_id):
@@ -241,6 +437,7 @@ def append_batch(
     # (observed: the chunks append silently became empty).  Also
     # collapses the extraction UDF chain to one pass for the whole batch.
     stats["n_urls_changed"] = 0
+    did_replace = False
     if dedup_urls and os.path.isdir(_data_path(kg_dir, "text")):
         # a crawl re-fetches the same page forever (SURVEY: streaming
         # first-seen dedup is the content-level twin); URL-level dedup
@@ -250,24 +447,42 @@ def append_batch(
         # column of the text snapshot (column-pruned scan).
         text_all = text_b.localCheckpoint()
         seen = spark.read.parquet(_data_path(kg_dir, "text"))
-        if count_changed_urls:
-            # revision accounting (VERDICT r4 next-round #5): dropped
-            # re-fetches whose content hash differs from the stored
-            # snapshot.  Eager count BEFORE any append, so the snapshot
-            # read sees only pre-batch files.  Content compare via
-            # xxhash64 — the equi-join on doc_id broadcasts the small
-            # batch side, one pruned (doc_id, text) scan of the table.
-            stats["n_urls_changed"] = (
+        if count_changed_urls or on_changed == "replace":
+            # revision accounting (VERDICT r4 next-round #5): re-fetches
+            # whose content hash differs from the stored snapshot.
+            # Eager BEFORE any append/purge, so the snapshot read sees
+            # only pre-batch files.  Content compare via xxhash64 — the
+            # equi-join on doc_id broadcasts the small batch side, one
+            # pruned (doc_id, text) scan of the table.
+            changed = (
                 text_all.select(
-                    "doc_id", F.xxhash64("text").alias("_new_h")
+                    "doc_id", "url", F.xxhash64("text").alias("_new_h")
                 )
                 .join(
                     seen.select("doc_id", F.xxhash64("text").alias("_old_h")),
                     "doc_id",
                 )
                 .filter(F.col("_new_h") != F.col("_old_h"))
-                .count()
+                .select("doc_id", "url")
+                .localCheckpoint()
             )
+            stats["n_urls_changed"] = changed.count()
+        if on_changed == "replace" and stats["n_urls_changed"]:
+            # row-level revision handling: DELETE the changed docs' rows
+            # from every doc-scoped table (+ their ANN vectors), then
+            # let the batch's fresh content re-ingest through the normal
+            # appends below (the purged snapshot no longer matches the
+            # anti-join, so the changed urls pass through).  The entity
+            # graph is repaired EXACTLY by gc_entities after the appends
+            # — see its docstring for the equality argument.
+            old_chunk_ids = _purge_doc_rows(spark, kg_dir, changed, batch_id)
+            _purge_ann_vectors(spark, kg_dir, old_chunk_ids)
+            stats["n_docs_replaced"] = stats["n_urls_changed"]
+            did_replace = True
+            # fresh read: the purge replaced the files behind `seen`'s
+            # plan — re-executing the stale listing would miss rows or
+            # fail on deleted files
+            seen = spark.read.parquet(_data_path(kg_dir, "text"))
         text_b = text_all.join(
             seen.select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint()
@@ -349,6 +564,27 @@ def append_batch(
         pairs_new = pairs_new.persist()
         _append(pairs_new, kg_dir, "entity_pairs")
         _bump_manifest(kg_dir, "entity_pairs", batch_id, pairs_new.count())
+    if did_replace:
+        # ---- 2b-4 (replace path): wholesale entity-graph repair ------
+        # The incremental contraction below can only GROW components;
+        # a replaced doc can ORPHAN a name (its last supporting triple
+        # purged) or SPLIT a component it bridged, and edges rows store
+        # only the canonical id, so membership must be recomputed from
+        # the raw surfaces.  gc_entities does exactly that — over the
+        # retained triples + pair ledger, which at this point already
+        # include this batch's appends (step 1 + the pairs append
+        # above), so its output equals a full rebuild's entity/edge
+        # tables (see its docstring for the exactness argument).
+        new_mapping = spark.createDataFrame([], "name string, canonical_id string")
+        relabel = spark.createDataFrame(
+            [], "old_canonical string, new_label string"
+        )
+        gcres = gc_entities(spark, kg_dir, batch_id)
+        stats["entity_gc"] = gcres
+        stats["n_relabeled_components"] = None
+        stats["n_edges_touched"] = None
+        stats["n_edges_appended"] = None
+    elif n_new:
         # contract existing components to their canonical id: CC then
         # runs on {new names} ∪ {touched canonicals} only
         old_map = existing.select("name", "canonical_id")
@@ -409,105 +645,106 @@ def append_batch(
             [], "old_canonical string, new_label string"
         )
         n_relabel = 0
-    stats["n_relabeled_components"] = n_relabel
+    if not did_replace:
+        stats["n_relabeled_components"] = n_relabel
 
-    # ---- 3. entities table: remap touched rows, add new rows ----------
-    # fast path (the common batch): nothing relabeled -> the existing
-    # rows are untouched, so APPEND only the new rows instead of
-    # rewriting the table — per-batch cost stays O(batch), not O(table)
-    ents_new_rows = new_ents.join(new_mapping, "name").select(
-        "name", "canonical_id", "embedding"
-    )
-    if n_relabel == 0:
-        if n_new:
-            _append(ents_new_rows, kg_dir, "entities")
-        entities_final = existing.unionByName(ents_new_rows)
-    else:
-        ents_updated = (
-            existing.join(
-                F.broadcast(relabel),
-                existing.canonical_id == relabel.old_canonical,
-                "left",
-            )
-            .select(
-                "name",
-                F.coalesce("new_label", existing.canonical_id).alias("canonical_id"),
-                "embedding",
-            )
+        # ---- 3. entities table: remap touched rows, add new rows ----------
+        # fast path (the common batch): nothing relabeled -> the existing
+        # rows are untouched, so APPEND only the new rows instead of
+        # rewriting the table — per-batch cost stays O(batch), not O(table)
+        ents_new_rows = new_ents.join(new_mapping, "name").select(
+            "name", "canonical_id", "embedding"
         )
-        # localCheckpoint: the plan reads the same parquet path it is
-        # about to overwrite — materialize first (Iceberg's snapshot
-        # commit would make this a metadata-only concern)
-        entities_final = ents_updated.unionByName(ents_new_rows).localCheckpoint()
-        entities_final.write.mode("overwrite").parquet(_data_path(kg_dir, "entities"))
-    _bump_manifest(kg_dir, "entities", batch_id, n_new)
+        if n_relabel == 0:
+            if n_new:
+                _append(ents_new_rows, kg_dir, "entities")
+            entities_final = existing.unionByName(ents_new_rows)
+        else:
+            ents_updated = (
+                existing.join(
+                    F.broadcast(relabel),
+                    existing.canonical_id == relabel.old_canonical,
+                    "left",
+                )
+                .select(
+                    "name",
+                    F.coalesce("new_label", existing.canonical_id).alias("canonical_id"),
+                    "embedding",
+                )
+            )
+            # localCheckpoint: the plan reads the same parquet path it is
+            # about to overwrite — materialize first (Iceberg's snapshot
+            # commit would make this a metadata-only concern)
+            entities_final = ents_updated.unionByName(ents_new_rows).localCheckpoint()
+            entities_final.write.mode("overwrite").parquet(_data_path(kg_dir, "entities"))
+        _bump_manifest(kg_dir, "entities", batch_id, n_new)
 
-    # ---- 4. edges: rewrite ONLY the touched components ----------------
-    edges_exist = os.path.isdir(_data_path(kg_dir, "edges"))
-    # batch triples canonicalized against the UPDATED mapping (restricted
-    # to names that appear in the batch — small, broadcast-able).  Built
-    # from entities_final (checkpointed on the rewrite path); on the
-    # append-only fast path `existing`'s lineage may re-read the table
-    # AFTER the new-rows append and surface each new name twice with the
-    # same canonical — dropDuplicates(name) makes the mapping immune to
-    # that evaluation-timing difference.
-    batch_names = batch_ents.select("name")
-    mapping_batch = (
-        entities_final.select("name", "canonical_id")
-        .join(F.broadcast(batch_names), "name", "left_semi")
-        .dropDuplicates(["name"])
-    )
-    edges_b = components.canonical_edges(
-        triples_b, mapping_batch, n_entities=batch_ents.count()
-    )
-    stats["n_edges_appended"] = edges_b.count()
-    if n_relabel == 0:
-        # fast path: no component's canonical changed, so no existing
-        # edge row needs touching — APPEND the batch's edges and never
-        # scan the old table (the batch's chunk_ids are fresh, so the
-        # (subj, pred, obj, chunk_id) MERGE keys cannot collide)
-        stats["n_edges_touched"] = 0
-        _append(edges_b, kg_dir, "edges")
-    else:
-        old_edges = (
-            spark.read.parquet(_data_path(kg_dir, "edges"))
-            if edges_exist
-            else spark.createDataFrame(
-                [],
-                "subj_id string, pred string, obj_id string, "
-                "chunk_id string, url string",
+        # ---- 4. edges: rewrite ONLY the touched components ----------------
+        edges_exist = os.path.isdir(_data_path(kg_dir, "edges"))
+        # batch triples canonicalized against the UPDATED mapping (restricted
+        # to names that appear in the batch — small, broadcast-able).  Built
+        # from entities_final (checkpointed on the rewrite path); on the
+        # append-only fast path `existing`'s lineage may re-read the table
+        # AFTER the new-rows append and surface each new name twice with the
+        # same canonical — dropDuplicates(name) makes the mapping immune to
+        # that evaluation-timing difference.
+        batch_names = batch_ents.select("name")
+        mapping_batch = (
+            entities_final.select("name", "canonical_id")
+            .join(F.broadcast(batch_names), "name", "left_semi")
+            .dropDuplicates(["name"])
+        )
+        edges_b = components.canonical_edges(
+            triples_b, mapping_batch, n_entities=batch_ents.count()
+        )
+        stats["n_edges_appended"] = edges_b.count()
+        if n_relabel == 0:
+            # fast path: no component's canonical changed, so no existing
+            # edge row needs touching — APPEND the batch's edges and never
+            # scan the old table (the batch's chunk_ids are fresh, so the
+            # (subj, pred, obj, chunk_id) MERGE keys cannot collide)
+            stats["n_edges_touched"] = 0
+            _append(edges_b, kg_dir, "edges")
+        else:
+            old_edges = (
+                spark.read.parquet(_data_path(kg_dir, "edges"))
+                if edges_exist
+                else spark.createDataFrame(
+                    [],
+                    "subj_id string, pred string, obj_id string, "
+                    "chunk_id string, url string",
+                )
             )
-        )
-        t_s = relabel.select(
-            F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
-        )
-        t_o = relabel.select(
-            F.col("old_canonical").alias("obj_id"), F.col("new_label").alias("_no")
-        )
-        rewritten = (
-            old_edges.join(F.broadcast(t_s), "subj_id", "left")
-            .join(F.broadcast(t_o), "obj_id", "left")
-            .withColumn(
-                "_touched", F.col("_ns").isNotNull() | F.col("_no").isNotNull()
+            t_s = relabel.select(
+                F.col("old_canonical").alias("subj_id"), F.col("new_label").alias("_ns")
             )
-        )
-        stats["n_edges_touched"] = rewritten.filter("_touched").count()
-        old_final = rewritten.select(
-            F.coalesce("_ns", F.col("subj_id")).alias("subj_id"),
-            "pred",
-            F.coalesce("_no", F.col("obj_id")).alias("obj_id"),
-            "chunk_id",
-            "url",
-        )
-        edges_final = (
-            old_final.unionByName(edges_b)
-            # relabeling can collapse two old rows onto the same key
-            .groupBy("subj_id", "pred", "obj_id", "chunk_id")
-            .agg(F.first("url").alias("url"))
-            .localCheckpoint()
-        )
-        edges_final.write.mode("overwrite").parquet(_data_path(kg_dir, "edges"))
-    _bump_manifest(kg_dir, "edges", batch_id, stats["n_edges_appended"])
+            t_o = relabel.select(
+                F.col("old_canonical").alias("obj_id"), F.col("new_label").alias("_no")
+            )
+            rewritten = (
+                old_edges.join(F.broadcast(t_s), "subj_id", "left")
+                .join(F.broadcast(t_o), "obj_id", "left")
+                .withColumn(
+                    "_touched", F.col("_ns").isNotNull() | F.col("_no").isNotNull()
+                )
+            )
+            stats["n_edges_touched"] = rewritten.filter("_touched").count()
+            old_final = rewritten.select(
+                F.coalesce("_ns", F.col("subj_id")).alias("subj_id"),
+                "pred",
+                F.coalesce("_no", F.col("obj_id")).alias("obj_id"),
+                "chunk_id",
+                "url",
+            )
+            edges_final = (
+                old_final.unionByName(edges_b)
+                # relabeling can collapse two old rows onto the same key
+                .groupBy("subj_id", "pred", "obj_id", "chunk_id")
+                .agg(F.first("url").alias("url"))
+                .localCheckpoint()
+            )
+            edges_final.write.mode("overwrite").parquet(_data_path(kg_dir, "edges"))
+        _bump_manifest(kg_dir, "edges", batch_id, stats["n_edges_appended"])
 
     # ---- 5. ANN index maintenance ------------------------------------
     # Skipped when the batch produced no chunks (every URL deduped away —

@@ -101,6 +101,7 @@ def start_incremental_kg_ingest(
     max_tokens: int = 200,
     num_partitions: int = 8,
     pages_schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+    on_changed: str = "keep_first",
 ):
     """Streaming maintenance of the WHOLE KG — graph side included
     (extends :func:`start_incremental_ingest`, which maintains only the
@@ -133,6 +134,7 @@ def start_incremental_kg_ingest(
             batch_id=f"stream:{batch_id}",
             max_tokens=max_tokens,
             num_partitions=num_partitions,
+            on_changed=on_changed,
         )
 
     return (

@@ -293,6 +293,7 @@ def _append_main(args) -> None:
         batch_id=batch_id,
         max_tokens=args.max_tokens,
         num_partitions=partitions,
+        on_changed=args.on_changed,
     )
     stats["elapsed_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(stats, indent=2))
@@ -403,6 +404,12 @@ def main() -> None:
     app.add_argument("--start", type=int, default=0,
                      help="synthetic corpus offset of the batch")
     app.add_argument("--batch-id", default=None)
+    app.add_argument("--on-changed", choices=["keep_first", "replace"],
+                     default="keep_first",
+                     help="re-fetched urls whose content changed: keep the "
+                     "stored snapshot (and count them), or delete their rows "
+                     "from every table and re-ingest the new content with an "
+                     "exact entity-graph repair")
     app.add_argument("--max-tokens", type=int, default=200)
     app.add_argument("--partitions", type=int, default=None)
     app.add_argument("--seed", type=int, default=42)

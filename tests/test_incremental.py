@@ -423,3 +423,31 @@ def test_append_banded_path_equality(spark, tmp_path, batches):
     want = _table_sets(spark, full_dir)
     got = _table_sets(spark, inc_dir)
     assert got == want
+
+
+def test_manifest_rowcounts_consistent_after_append(spark, tmp_path, batches):
+    """ADVICE r4 #4: every stage manifest's n_rows must equal the actual
+    parquet row count after an append — including the four stages that
+    were previously bumped with delta=0 (term_chunk_edges, triples_raw,
+    mentions, entity_pairs) and the two the slow path rewrites
+    (entities, edges)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.checkpoint import load_manifest
+
+    batch1, batch2 = batches
+    kg = str(tmp_path / "kg_counts")
+    build_kg(spark, batch1, kg, input_fingerprint="b1")
+    append_batch(spark, kg, batch2, batch_id="b2")  # merging (slow-path) append
+
+    stages = [
+        "text", "chunks", "chunk_embeddings", "term_chunk_edges",
+        "triples_raw", "mentions", "entity_pairs", "entities", "edges",
+    ]
+    for stage in stages:
+        data = os.path.join(kg, stage, "data")
+        if not os.path.isdir(data):
+            continue
+        man = load_manifest(kg, stage)
+        actual = spark.read.parquet(data).count()
+        assert man is not None and man.get("n_rows") == actual, (
+            stage, man and man.get("n_rows"), actual
+        )
