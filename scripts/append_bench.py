@@ -142,6 +142,31 @@ def main() -> None:
     }
     assert stats["n_relabeled_components"] >= 1, "merge leg did not relabel"
 
+    # ---- replace path: half the batch re-fetches EXISTING urls with
+    # CHANGED content (different corpus seed, same ids -> same urls),
+    # on_changed='replace' purges + re-ingests them and runs the exact
+    # entity-graph GC — the heaviest append shape (6 doc-scoped table
+    # rewrites + ANN vector purge + entities/edges/pairs rebuild)
+    replace_dir = os.path.join(args.workdir, "replace")
+    shutil.copytree(base, replace_dir)
+    replace_batch = corpus.pages_spark_df(
+        spark, args.batch, partitions=args.cpus * 4,
+        start=args.pages - args.batch // 2, seed=99,
+    )
+    s0, t0 = _steal(), time.time()
+    stats = append_batch(
+        spark, replace_dir, replace_batch, batch_id="replace",
+        on_changed="replace",
+    )
+    out["replace"] = {
+        "wall_sec": round(time.time() - t0, 2),
+        "steal_ticks": _steal() - s0,
+        "n_docs_replaced": stats["n_docs_replaced"],
+        "n_pages_ingested": stats["n_pages"],
+        "entity_gc": stats["entity_gc"],
+    }
+    assert stats["n_docs_replaced"] > 0, "replace leg found nothing changed"
+
     # ---- rebuild baseline --------------------------------------------
     full_dir = os.path.join(args.workdir, "full")
     s0, t0 = _steal(), time.time()
