@@ -25,6 +25,8 @@ import re
 import zlib
 from typing import List, Tuple
 
+import numpy as np
+
 from .stopwords import STOPWORDS
 
 # ---------------------------------------------------------------------------
@@ -259,10 +261,12 @@ def _features(text: str) -> List[str]:
     return feats
 
 
-def embed_text_py(text: str, dim: int = EMBED_DIM) -> List[float]:
-    """Single-text hash embedding, L2-normalized.  The e5 ``passage:`` /
-    ``query:`` prefixes (common.py:73-82, retrieval.py:93) are accepted
-    and stripped so query/passage embeddings of equal text align."""
+def _embed_text_py_ref(text: str, dim: int = EMBED_DIM) -> List[float]:
+    """Reference implementation of the hash embedder: sequential
+    per-feature loop.  Kept as (a) the non-ASCII execution path of
+    :func:`embed_text_py` (char-window shingles differ from byte windows
+    under multi-byte utf-8) and (b) the oracle the fast path's parity
+    test compares against."""
     text = _PREFIX_RE.sub("", text or "")
     vec = [0.0] * dim
     for f in _features(text):
@@ -282,6 +286,72 @@ def embed_text_py(text: str, dim: int = EMBED_DIM) -> List[float]:
     return [
         struct.unpack("f", struct.pack("f", v / norm))[0] for v in vec
     ]
+
+
+def _mk_crc_table() -> "np.ndarray":
+    tbl = []
+    for i in range(256):
+        c = i
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        tbl.append(c)
+    return np.array(tbl, dtype=np.uint32)
+
+
+_CRC_TABLE = _mk_crc_table()
+_U8, _U16, _UFF, _UINIT = (
+    np.uint32(8),
+    np.uint32(16),
+    np.uint32(0xFF),
+    np.uint32(0xFFFFFFFF),
+)
+
+
+def embed_text_py(text: str, dim: int = EMBED_DIM) -> List[float]:
+    """Single-text hash embedding, L2-normalized.  The e5 ``passage:`` /
+    ``query:`` prefixes (common.py:73-82, retrieval.py:93) are accepted
+    and stripped so query/passage embeddings of equal text align.
+
+    BIT-IDENTICAL numpy fast path for ASCII text (~4x over the loop,
+    and this is the per-doc hot spot of the chunk-embedding stage):
+    char 3-shingles of ASCII text are byte 3-windows, so their crc32s
+    vectorize as three table lookups over the joined byte array; sign
+    accumulation adds only ±1.0, and sums of integer-valued doubles
+    below 2^53 are EXACT in any order, so ``bincount`` + numpy's
+    sum-of-squares reproduce the sequential loop's doubles bit-for-bit;
+    the final ``/ norm`` + float32 cast round identically to the
+    struct round-trip.  Parity is pytest-gated against
+    :func:`_embed_text_py_ref` (randomized corpus), and non-ASCII text
+    takes the reference path outright."""
+    stripped = _PREFIX_RE.sub("", text or "")
+    toks = [w.lower() for w in word_tokenize(stripped) if w.isalnum()]
+    joined = " ".join(toks)
+    if not joined.isascii():
+        return _embed_text_py_ref(text, dim)
+    tok_h = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) for t in toks),
+        dtype=np.uint32,
+        count=len(toks),
+    )
+    b = np.frombuffer(joined.encode("utf-8"), dtype=np.uint8)
+    m = len(b) - 2
+    if m > 0:
+        crc = np.full(m, _UINIT, dtype=np.uint32)
+        for k in range(3):
+            crc = (crc >> _U8) ^ _CRC_TABLE[(crc ^ b[k : k + m]) & _UFF]
+        sh_h = crc ^ _UINIT
+    else:
+        sh_h = np.empty(0, dtype=np.uint32)
+    h = np.concatenate([tok_h, sh_h])
+    if h.size == 0:
+        return [0.0] * dim
+    idx = (h % np.uint32(dim)).astype(np.intp)
+    sign = np.where((h >> _U16) & np.uint32(1), 1.0, -1.0)
+    vec = np.bincount(idx, weights=sign, minlength=dim)
+    ss = float((vec * vec).sum())
+    if ss == 0.0:
+        return [0.0] * dim
+    return (vec / (ss**0.5)).astype(np.float32).tolist()
 
 
 def cosine(a: List[float], b: List[float]) -> float:

@@ -593,3 +593,36 @@ def test_context_window_randomized_vs_python_oracle(spark):
             (cid, is_m, round(sc, 9)) for cid, (is_m, sc, _m) in want.items()
         }
         assert got == want_set, f"ctx={ctx}"
+
+
+# ---------------------------------------------------------------------------
+# JVM-side n-gram construction == Python-UDF n-gram construction
+# ---------------------------------------------------------------------------
+
+def test_term_chunk_edges_jvm_equals_python_udf(spark):
+    """The default (jvm_ngrams=True) path builds bigrams/trigrams,
+    the unigram stopword filter, and per-type dedup in JVM column
+    algebra from the Python token array; it must be SET-identical to
+    the all-Python reference path over punctuation, stopwords,
+    duplicates, short texts, empties, and unicode."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ngrams
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog.",
+        "the the the and and of",                  # all stopwords + dups
+        "Acme acquired Beta. Acme acquired Beta!", # repeated bigrams across sents
+        "one",                                     # 1 token: no bi/tri
+        "one two",                                 # 2 tokens: no tri
+        "",                                        # empty
+        "punct, only: !!!",                        # punct tokens filtered
+        "héllo wörld ünïcode straße 北京 text",     # unicode isalnum parity
+        "a1 b2 c3 a1 b2 c3 a1",                    # alnum mix + dups
+    ]
+    rows = [(f"c{i}", t) for i, t in enumerate(texts)]
+    chunks = spark.createDataFrame(rows, "chunk_id string, text string")
+    jvm = ngrams.term_chunk_edges(chunks).collect()
+    py = ngrams.term_chunk_edges(chunks, jvm_ngrams=False).collect()
+    key = lambda r: (r["chunk_id"], r["type"], r["term"])
+    assert sorted(map(key, jvm)) == sorted(map(key, py))
+    # dedup inside both paths: no (chunk_id, term, type) repeats
+    assert len(jvm) == len(set(map(key, jvm)))

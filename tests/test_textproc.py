@@ -145,3 +145,38 @@ def test_embed_empty_is_zero_vector():
 def test_cosine_identical_is_one():
     v = tp.embed_text_py("hello world")
     assert abs(tp.cosine(v, v) - 1.0) < 1e-9
+
+
+def test_embed_fast_path_bit_identical_to_reference():
+    """The numpy ASCII fast path must reproduce the sequential loop
+    reference (`_embed_text_py_ref`) bit-for-bit: stored embeddings,
+    the >=0.96 linking threshold, and the driver oracles all assume one
+    embedding function."""
+    import random
+    import string
+
+    rng = random.Random(20260817)
+    words = [
+        "".join(
+            rng.choices(string.ascii_lowercase + string.digits, k=rng.randint(1, 10))
+        )
+        for _ in range(300)
+    ]
+    cases = [
+        "",
+        " ",
+        "passage: hello world",
+        "query:  x",
+        "a.b,c;d! e? (f) [g]",
+        "x" * 2000,
+        "ab",            # joined shorter than one 3-shingle window
+        "héllo wörld 北京 straße",   # non-ASCII -> reference path
+        "mixed ascii und öäü tail",
+    ]
+    cases += [
+        " ".join(rng.choices(words, k=rng.randint(0, 250)))
+        + rng.choice([".", "!", "?", ""])
+        for _ in range(150)
+    ]
+    for c in cases:
+        assert tp.embed_text_py(c) == tp._embed_text_py_ref(c), repr(c[:50])
