@@ -1117,6 +1117,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_topk_triplets"] = kg_topk_triplets
 
+    def kg_entity_degrees(spark, sf):
+        """Graph analytics: per-entity out/in/total degree over the
+        canonical edge table (distinct directed pairs)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.degree_centrality(_kg(spark, "edges"))
+
+    q["kg_entity_degrees"] = kg_entity_degrees
+
+    def kg_entity_pagerank(spark, sf):
+        """Graph analytics: 10-iteration PageRank (d=0.85, GraphX-style
+        un-normalized form) over the canonical edge table.  Rounded to
+        6dp on both sides — the iterative double sums may differ in the
+        last ulp between engines (different reduction order)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        r = graph_analytics.pagerank(_kg(spark, "edges"))
+        return r.select("entity_id", F.round("pagerank", 6).alias("pagerank"))
+
+    q["kg_entity_pagerank"] = kg_entity_pagerank
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -2137,6 +2162,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj_id, pred, obj_id, chunk_id, url
         FROM ranked WHERE _rn <= 5
         ORDER BY subj_id, pred, obj_id, chunk_id LIMIT 5
+    """
+
+    sqls["kg_entity_degrees"] = f"""
+        WITH g AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        o AS (SELECT src AS entity_id, COUNT(*) AS out_degree FROM g GROUP BY src),
+        i AS (SELECT dst AS entity_id, COUNT(*) AS in_degree  FROM g GROUP BY dst)
+        SELECT COALESCE(o.entity_id, i.entity_id) AS entity_id,
+               COALESCE(out_degree, 0) AS out_degree,
+               COALESCE(in_degree, 0)  AS in_degree,
+               COALESCE(out_degree, 0) + COALESCE(in_degree, 0) AS degree
+        FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id
+    """
+
+    # 10-iteration PageRank, unrolled as a CTE chain (same contract as
+    # operators/graph_analytics.pagerank: distinct directed pairs,
+    # nodes = edge endpoints, rank_0 = 1, un-normalized GraphX form,
+    # dangling mass dropped; both sides round to 6dp)
+    _pr_iters = "".join(
+        f""",
+        r{k} AS (
+          SELECT n.entity_id,
+                 0.15 + 0.85 * COALESCE(s.m, 0.0) AS pagerank
+          FROM prnodes n LEFT JOIN (
+            SELECT ge.dst AS entity_id, SUM(rp.pagerank / ge.outdeg) AS m
+            FROM ge JOIN r{k - 1} rp ON rp.entity_id = ge.src
+            GROUP BY ge.dst
+          ) s ON n.entity_id = s.entity_id
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["kg_entity_pagerank"] = f"""
+        WITH g AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
+        SELECT entity_id, ROUND(pagerank, 6) AS pagerank FROM r10
     """
 
     # MinHash LSH banding + agreement-estimate over the materialized

@@ -1,0 +1,91 @@
+"""degree_centrality / pagerank vs a pure-Python reference on crafted
+graphs (multi-edges, self-loops, dangling nodes, disconnected parts)."""
+
+import pytest
+
+from hybrid_graphrag_with_qdrant_neo4j_spark.operators import graph_analytics as ga
+
+
+def _pagerank_py(pairs, damping=0.85, iterations=10):
+    g = sorted(set(pairs))
+    nodes = sorted({a for a, _ in g} | {b for _, b in g})
+    outdeg = {}
+    for a, _ in g:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        mass = {n: 0.0 for n in nodes}
+        for a, b in g:
+            mass[b] += rank[a] / outdeg[a]
+        rank = {n: (1.0 - damping) + damping * mass[n] for n in nodes}
+    return rank
+
+
+# multi-edge a->b (collapses), self-loop c->c, dangling sink d,
+# disconnected pair e->f
+_PAIRS = [
+    ("a", "b"), ("a", "b"), ("a", "c"), ("b", "c"),
+    ("c", "a"), ("c", "c"), ("b", "d"), ("e", "f"),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    rows = [(s, "REL", o, f"ch{i}", "u") for i, (s, o) in enumerate(_PAIRS)]
+    return spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, chunk_id string, url string"
+    )
+
+
+def test_degree_centrality_matches_reference(edges):
+    got = {
+        r["entity_id"]: (r["out_degree"], r["in_degree"], r["degree"])
+        for r in ga.degree_centrality(edges).collect()
+    }
+    g = sorted(set((s, o) for s, o in _PAIRS))
+    nodes = {a for a, _ in g} | {b for _, b in g}
+    want = {
+        n: (
+            sum(1 for a, _ in g if a == n),
+            sum(1 for _, b in g if b == n),
+            sum(1 for a, _ in g if a == n) + sum(1 for _, b in g if b == n),
+        )
+        for n in nodes
+    }
+    assert got == want
+
+
+def test_pagerank_matches_reference(edges):
+    got = {
+        r["entity_id"]: r["pagerank"] for r in ga.pagerank(edges).collect()
+    }
+    want = _pagerank_py(set(_PAIRS))
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9), n
+
+
+def test_pagerank_star_hub_outranks_leaves(spark):
+    rows = [(f"leaf{i}", "REL", "hub", f"c{i}", "u") for i in range(5)]
+    rows.append(("hub", "REL", "leaf0", "c9", "u"))
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, chunk_id string, url string"
+    )
+    ranks = {r["entity_id"]: r["pagerank"] for r in ga.pagerank(edges).collect()}
+    # hub beats every leaf that receives nothing (leaf0 receives the
+    # hub's ENTIRE out-mass — outdeg(hub)=1 — so it rivals the hub;
+    # the hub/leaf0 2-cycle also oscillates at finite iterations)
+    for i in range(1, 5):
+        assert ranks["hub"] > ranks[f"leaf{i}"]
+    assert ranks == {
+        k: pytest.approx(v, abs=1e-9)
+        for k, v in _pagerank_py(
+            [(f"leaf{i}", "hub") for i in range(5)] + [("hub", "leaf0")]
+        ).items()
+    }
+
+
+def test_pagerank_zero_iterations_is_initial_rank(edges):
+    got = {r["entity_id"]: r["pagerank"]
+           for r in ga.pagerank(edges, iterations=0).collect()}
+    assert set(got.values()) == {1.0}
