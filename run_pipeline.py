@@ -216,6 +216,45 @@ def _interactive_main(args) -> None:
     spark.stop()
 
 
+def _analytics_main(args) -> None:
+    """Graph analytics over a built KG: PageRank + degree centrality on
+    the canonical edge table, top-N printed as JSON.  (The reference
+    keeps its graph in Neo4j where this is a Cypher aggregate; here it
+    is a DataFrame job over the edges snapshot.)"""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import graph_analytics
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.graphrag import GraphRAG
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="kg_analytics")
+    edges = GraphRAG(spark, args.kg_dir).table("edges")
+    pr = graph_analytics.pagerank(
+        edges, damping=args.damping, iterations=args.iterations
+    )
+    deg = graph_analytics.degree_centrality(edges)
+    top = (
+        pr.join(deg, "entity_id")
+        .orderBy(F.desc("pagerank"), F.asc("entity_id"))
+        .limit(args.top)
+        .collect()
+    )
+    print(json.dumps({
+        "n_entities": deg.count(),
+        "iterations": args.iterations,
+        "damping": args.damping,
+        "top": [
+            {
+                "entity_id": r["entity_id"],
+                "pagerank": round(r["pagerank"], 6),
+                "in_degree": r["in_degree"],
+                "out_degree": r["out_degree"],
+            }
+            for r in top
+        ],
+    }, indent=2))
+    spark.stop()
+
+
 def _info_main(args) -> None:
     """Print every stage's checkpoint manifest — the per-partition
     lineage + metrics the north rule requires, made user-visible.  Pure
@@ -420,6 +459,15 @@ def main() -> None:
     )
     info.add_argument("--kg-dir", required=True)
 
+    an = sub.add_parser(
+        "analytics",
+        help="PageRank + degree centrality over the KG's canonical edges",
+    )
+    an.add_argument("--kg-dir", required=True)
+    an.add_argument("--top", type=int, default=10)
+    an.add_argument("--iterations", type=int, default=10)
+    an.add_argument("--damping", type=float, default=0.85)
+
     cp = sub.add_parser(
         "compact",
         help="small-file compaction of the KG snapshots after appends",
@@ -488,6 +536,9 @@ def main() -> None:
         return
     if args.cmd == "info":
         _info_main(args)
+        return
+    if args.cmd == "analytics":
+        _analytics_main(args)
         return
     if args.cmd == "compact":
         from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark

@@ -89,3 +89,30 @@ def test_pagerank_zero_iterations_is_initial_rank(edges):
     got = {r["entity_id"]: r["pagerank"]
            for r in ga.pagerank(edges, iterations=0).collect()}
     assert set(got.values()) == {1.0}
+
+
+def test_cli_analytics_verb(spark, tmp_path_factory, monkeypatch, capsys):
+    """`run_pipeline.py analytics --kg-dir ...` end-to-end over a small
+    built KG: JSON output with top entities carrying pagerank + degrees."""
+    import json
+
+    import run_pipeline
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path_factory.mktemp("kg_an"))
+    pages = corpus.pages_spark_df(spark, 40, partitions=4)
+    build_kg(spark, pages, out, input_fingerprint="an:40")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "analytics", "--kg-dir", out, "--top", "3"],
+    )
+    run_pipeline.main()
+    got = json.loads(capsys.readouterr().out)
+    assert got["n_entities"] > 0
+    assert 1 <= len(got["top"]) <= 3
+    rec = got["top"][0]
+    assert set(rec) == {"entity_id", "pagerank", "in_degree", "out_degree"}
+    assert rec["pagerank"] >= got["top"][-1]["pagerank"]
