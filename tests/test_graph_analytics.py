@@ -116,3 +116,30 @@ def test_cli_analytics_verb(spark, tmp_path_factory, monkeypatch, capsys):
     rec = got["top"][0]
     assert set(rec) == {"entity_id", "pagerank", "in_degree", "out_degree"}
     assert rec["pagerank"] >= got["top"][-1]["pagerank"]
+
+
+def test_pagerank_randomized_graphs_vs_python_oracle(spark):
+    """Seeded sweep of random digraphs (varying density, self-loops,
+    duplicate edges) against the pure-Python reference."""
+    import random
+
+    rng = random.Random(17)
+    for trial in range(4):
+        n = rng.randint(2, 12)
+        m = rng.randint(1, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        got = {
+            r["entity_id"]: r["pagerank"]
+            for r in ga.pagerank(edges, iterations=6).collect()
+        }
+        want = _pagerank_py(set(pairs), iterations=6)
+        assert set(got) == set(want), f"trial={trial}"
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-9), (trial, k)

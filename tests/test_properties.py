@@ -156,3 +156,12 @@ def test_food_analysis_first_match_precedence():
         r = out[p]
         assert (r["ingredients"], r["cooking_technique"],
                 r["nutritional_trends"], r["cuisine"]) == (ing, tech, nut, cui), p
+
+
+@settings(max_examples=300, deadline=None)
+@given(_text)
+def test_embed_fast_path_equals_reference_for_all_inputs(text):
+    """The numpy ASCII fast path of the hash embedder is bit-identical
+    to the sequential reference loop for arbitrary unicode input (the
+    non-ASCII branch dispatches to the reference outright)."""
+    assert tp.embed_text_py(text) == tp._embed_text_py_ref(text)
