@@ -107,6 +107,7 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  <your question> - Query the GraphRAG system")
             print("  batch <file> - Answer every query in <file> (one per"
                   " line) as ONE job")
+            print("  analytics [N] - Top-N entities by PageRank + degrees")
             print("  set top_k <number> - Set number of top results")
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
@@ -114,6 +115,34 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  show settings - Display current settings")
             print("  help - Show this help message")
             print("  exit/quit - Exit the session")
+            continue
+        if low == "analytics" or low.startswith("analytics "):
+            from pyspark.sql import functions as F
+
+            from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+                graph_analytics,
+            )
+
+            parts = user_input.split()
+            try:
+                top_n = int(parts[1]) if len(parts) > 1 else 10
+            except ValueError:
+                print("Usage: analytics [N]")
+                continue
+            edges = rag.table("edges")
+            ranked = (
+                graph_analytics.pagerank(edges)
+                .join(graph_analytics.degree_centrality(edges), "entity_id")
+                .orderBy(F.desc("pagerank"), F.asc("entity_id"))
+                .limit(top_n)
+                .collect()
+            )
+            print(f"\nTop {len(ranked)} entities by PageRank:")
+            for r in ranked:
+                print(
+                    f"  {r['entity_id']}: rank={r['pagerank']:.4f} "
+                    f"in={r['in_degree']} out={r['out_degree']}"
+                )
             continue
         if low.startswith("batch "):
             # whole-file retrieval through query_many: the batch is ONE

@@ -371,3 +371,21 @@ def test_interactive_batch_command(kg, spark, monkeypatch, capsys, tmp_path):
     import re
     got = set(re.findall(r"\[(q\d+)\][^\n]*\n((?:  \S+  score=\S+\n)+)", out))
     assert len(got) == 2
+
+
+def test_interactive_analytics_command(kg, spark, monkeypatch, capsys):
+    """REPL `analytics [N]`: top entities by PageRank with degrees,
+    computed over the facade's edges table; bad N is survived."""
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter(["analytics 3", "analytics x", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", kg._dir],
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "Top 3 entities by PageRank:" in out
+    assert "rank=" in out and "in=" in out and "out=" in out
+    assert "Usage: analytics [N]" in out
