@@ -10,9 +10,13 @@ DataFrame compositions — no UDFs, no driver-side iteration over data:
 - :func:`degree_centrality` is two shuffle-free partial aggregations
   joined on the entity id.
 - :func:`pagerank` is the standard iterative join/agg loop (GraphX /
-  GraphFrames semantics, un-normalized formulation): each iteration is
-  ONE shuffle keyed by the destination id; the edge table with its
-  out-degree column is computed once and persisted; rank lineage is
+  GraphFrames semantics, un-normalized formulation).  The edge table
+  with its out-degree column is computed once, explicitly
+  ``repartition("src")``-ed, and persisted — the cached partitioning
+  satisfies the join requirement, so each iteration shuffles only
+  RANK-sized data (ranks hashed to src + map-side-combined dst
+  partials), never the edge table (plan-gated:
+  ``test_pagerank_iteration_reuses_cached_edges``).  Rank lineage is
   cut with ``localCheckpoint`` every few iterations so the Catalyst
   plan stays O(1)-deep instead of O(iterations).
 
@@ -67,6 +71,20 @@ def degree_centrality(
     )
 
 
+def _iteration_contribs(ge: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One PageRank iteration's incoming mass per destination:
+    ranks ⋈ cached (src, dst, outdeg) on src, then a partial-combined
+    sum keyed by dst."""
+    return (
+        ge.join(
+            ranks.select(F.col("entity_id").alias("src"), F.col("pagerank")),
+            "src",
+        )
+        .groupBy(F.col("dst").alias("entity_id"))
+        .agg(F.sum(F.col("pagerank") / F.col("_outdeg")).alias("_mass"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj_id",
@@ -93,23 +111,16 @@ def pagerank(
         .persist()
     )
     outdeg = g.groupBy("src").agg(F.count("*").alias("_outdeg"))
-    # (src, dst, outdeg) computed once; every iteration joins ranks to it
-    ge = g.join(outdeg, "src").persist()
+    # (src, dst, outdeg) computed once; the explicit repartition pins
+    # hashpartitioning(src) into the cache so the per-iteration join
+    # shuffles only the rank side, never this table
+    ge = g.join(outdeg, "src").repartition("src").persist()
     ge.count()
 
     ranks = nodes.select("entity_id", F.lit(1.0).alias("pagerank"))
     prev = None
     for i in range(iterations):
-        contribs = (
-            ge.join(
-                ranks.select(
-                    F.col("entity_id").alias("src"), F.col("pagerank")
-                ),
-                "src",
-            )
-            .groupBy(F.col("dst").alias("entity_id"))
-            .agg(F.sum(F.col("pagerank") / F.col("_outdeg")).alias("_mass"))
-        )
+        contribs = _iteration_contribs(ge, ranks)
         ranks = nodes.join(contribs, "entity_id", "left").select(
             "entity_id",
             (

@@ -143,3 +143,40 @@ def test_pagerank_randomized_graphs_vs_python_oracle(spark):
         assert set(got) == set(want), f"trial={trial}"
         for k in want:
             assert got[k] == pytest.approx(want[k], abs=1e-9), (trial, k)
+
+
+def test_pagerank_iteration_reuses_cached_edges(spark):
+    """Plan gate: the per-iteration contribs plan must read the
+    persisted (src, dst, outdeg) table from the cache (InMemoryTableScan
+    with its pinned hashpartitioning(src)) instead of recomputing or
+    reshuffling the edge table — at crawl scale the edge table dwarfs
+    the rank vector, so reshuffling it every iteration is the failure
+    mode this pins against."""
+    from pyspark.sql import functions as F
+
+    rows = [(f"a{i % 7}", "R", f"b{i % 5}", f"c{i}", "u") for i in range(50)]
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, chunk_id string, url string"
+    )
+    g = edges.select(
+        F.col("subj_id").alias("src"), F.col("obj_id").alias("dst")
+    ).distinct()
+    outdeg = g.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    ge = g.join(outdeg, "src").repartition("src").persist()
+    try:
+        ge.count()
+        ranks = (
+            g.select(F.col("src").alias("entity_id"))
+            .distinct()
+            .select("entity_id", F.lit(1.0).alias("pagerank"))
+            .localCheckpoint(eager=True)
+        )
+        plan = (
+            ga._iteration_contribs(ge, ranks)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "InMemoryTableScan" in plan, plan
+    finally:
+        ge.unpersist()
