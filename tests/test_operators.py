@@ -626,3 +626,24 @@ def test_term_chunk_edges_jvm_equals_python_udf(spark):
     assert sorted(map(key, jvm)) == sorted(map(key, py))
     # dedup inside both paths: no (chunk_id, term, type) repeats
     assert len(jvm) == len(set(map(key, jvm)))
+
+
+def test_term_chunk_edges_plan_is_shuffle_free(spark):
+    """Plan gate: the JVM n-gram path is ONE ArrowEvalPython (the token
+    UDF evaluates once, not once per derived expression) and ZERO
+    exchanges — per-chunk MERGE dedup needs no shuffle because the
+    dedup key contains chunk_id."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ngrams
+
+    chunks = spark.createDataFrame(
+        [("c1", "Acme acquired Beta. The quick brown fox.")],
+        "chunk_id string, text string",
+    )
+    plan = (
+        ngrams.term_chunk_edges(chunks)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "Exchange" not in plan, plan
