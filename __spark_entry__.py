@@ -403,6 +403,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_search_docs"] = term_search_docs
 
+    def bm25_search_docs(spark, sf):
+        """BM25-ranked lexical retrieval over the documents table
+        (Lucene idf form, k1=1.2, b=0.75).  No LIMIT: every matched doc
+        is returned so a last-ulp score difference at a top-k boundary
+        can never flip the row set; scores rounded to 6dp on both
+        engines (ln/double reduction order)."""
+        docs = _t(spark, sf, "documents")
+        occ = docs.select(
+            "doc_id", F.explode(TQ.tokens(F.col("text"))).alias("term")
+        )
+        qterms = spark.createDataFrame(
+            [("spark", 1.0), ("join", 1.0), ("window", 1.0), ("stream", 2.0)],
+            "term string, score double",
+        )
+        out = retrieval.bm25_rank(occ, qterms, top_k=10**9)
+        return out.select("doc_id", F.round("score", 6).alias("score"))
+
+    q["bm25_search_docs"] = bm25_search_docs
+
+    def bm25_search_many_docs(spark, sf):
+        """Batch twin: 3 weighted queries ranked in ONE pass over the
+        corpus statistics (corpus scanned once, not per query)."""
+        docs = _t(spark, sf, "documents")
+        occ = docs.select(
+            "doc_id", F.explode(TQ.tokens(F.col("text"))).alias("term")
+        )
+        qmany = spark.createDataFrame(
+            [
+                ("q1", "spark", 1.0),
+                ("q2", "join", 1.0),
+                ("q2", "stream", 1.0),
+                ("q3", "pipeline", 3.0),
+                ("q3", "spark", 0.5),
+            ],
+            "query_id string, term string, score double",
+        )
+        out = retrieval.bm25_rank_many(occ, qmany, top_k=10**9)
+        return out.select(
+            "query_id", "doc_id", F.round("score", 6).alias("score")
+        )
+
+    q["bm25_search_many_docs"] = bm25_search_many_docs
+
     def doc_token_stats(spark, sf):
         docs = _t(spark, sf, "documents")
         c = F.col("text")
@@ -1142,6 +1185,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_pagerank"] = kg_entity_pagerank
 
+    def kg_entity_khop(spark, sf):
+        """Graph analytics: 3-hop undirected neighborhood (min-hop BFS
+        levels) around a seed entity — the variable-length Cypher walk
+        (``MATCH (e)-[*..3]-(m)``) the reference would run on Neo4j."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.khop_neighbors(
+            _kg(spark, "edges"), ["acme corporation"], k=3
+        )
+
+    q["kg_entity_khop"] = kg_entity_khop
+
+    def kg_entity_communities(spark, sf):
+        """Graph analytics: 5-iteration synchronous label propagation
+        (most-frequent neighbor label, min-label ties) over the
+        undirected entity graph — community structure for global
+        GraphRAG summarization."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.label_propagation(_kg(spark, "edges"), iterations=5)
+
+    q["kg_entity_communities"] = kg_entity_communities
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -1444,6 +1514,51 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, SUM(score) AS score
         FROM toks JOIN qt USING (term)
         GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 20
+    """
+
+    # BM25 (Lucene idf ln(1+(N-df+.5)/(df+.5)), k1=1.2, b=0.75); no LIMIT
+    # (full matched set — immune to last-ulp top-k boundary flips); both
+    # engines round the final per-doc sum to 6dp
+    _BM25_CORE = f"""
+        occ AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM occ GROUP BY doc_id, term),
+        dlen AS (SELECT doc_id, COUNT(*) AS dlen FROM occ GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(dlen) AS avgdl FROM dlen),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term)
+    """
+
+    sqls["bm25_search_docs"] = f"""
+        WITH {_BM25_CORE},
+        qt AS (SELECT * FROM (VALUES ('spark', 1.0), ('join', 1.0),
+                                      ('window', 1.0), ('stream', 2.0)) v(term, score)),
+        scored AS (
+          SELECT tf.doc_id,
+                 qt.score
+                   * LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dlen / stats.avgdl)) AS s
+          FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+               JOIN dlen USING (doc_id), stats
+        )
+        SELECT doc_id, ROUND(SUM(s), 6) AS score FROM scored GROUP BY doc_id
+    """
+
+    sqls["bm25_search_many_docs"] = f"""
+        WITH {_BM25_CORE},
+        qt AS (SELECT * FROM (VALUES ('q1', 'spark', 1.0), ('q2', 'join', 1.0),
+                                      ('q2', 'stream', 1.0), ('q3', 'pipeline', 3.0),
+                                      ('q3', 'spark', 0.5)) v(query_id, term, score)),
+        scored AS (
+          SELECT qt.query_id, tf.doc_id,
+                 qt.score
+                   * LN(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dlen.dlen / stats.avgdl)) AS s
+          FROM tf JOIN qt USING (term) JOIN dfreq USING (term)
+               JOIN dlen USING (doc_id), stats
+        )
+        SELECT query_id, doc_id, ROUND(SUM(s), 6) AS score
+        FROM scored GROUP BY query_id, doc_id
     """
 
     sqls["doc_token_stats"] = f"""
@@ -2205,6 +2320,66 @@ def oracle_sql() -> dict[str, str]:
         ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
         r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
         SELECT entity_id, ROUND(pagerank, 6) AS pagerank FROM r10
+    """
+
+    # 3-hop undirected min-hop BFS from a seed entity, unrolled one CTE
+    # per level; MIN(hop) over the level union == first-reached level
+    sqls["kg_entity_khop"] = f"""
+        WITH g0 AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        und AS (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+        f0 AS (SELECT 'acme corporation' AS entity_id),
+        h1 AS (SELECT DISTINCT und.dst AS entity_id
+               FROM und JOIN f0 ON und.src = f0.entity_id),
+        h2 AS (SELECT DISTINCT und.dst AS entity_id
+               FROM und JOIN h1 ON und.src = h1.entity_id),
+        h3 AS (SELECT DISTINCT und.dst AS entity_id
+               FROM und JOIN h2 ON und.src = h2.entity_id),
+        lv AS (
+          SELECT entity_id, 0 AS hop FROM f0
+          UNION ALL SELECT entity_id, 1 FROM h1
+          UNION ALL SELECT entity_id, 2 FROM h2
+          UNION ALL SELECT entity_id, 3 FROM h3
+        )
+        SELECT entity_id, MIN(hop) AS hop FROM lv GROUP BY entity_id
+    """
+
+    # 5-iteration synchronous label propagation, unrolled (same contract
+    # as operators/graph_analytics.label_propagation: undirected distinct
+    # pairs, label_0 = own id, most-frequent neighbor label, min-label
+    # ties, keep-own-label fallback)
+    _lpa_iters = "".join(
+        f""",
+        c{k} AS (
+          SELECT und.dst AS entity_id, l.label, COUNT(*) AS c
+          FROM und JOIN l{k - 1} l ON l.entity_id = und.src
+          GROUP BY und.dst, l.label
+        ),
+        t{k} AS (
+          SELECT entity_id, label FROM (
+            SELECT entity_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY entity_id
+                     ORDER BY c DESC, label ASC) AS rn
+            FROM c{k}
+          ) WHERE rn = 1
+        ),
+        l{k} AS (
+          SELECT n.entity_id, COALESCE(t.label, p.label) AS label
+          FROM lpnodes n
+          LEFT JOIN t{k} t ON n.entity_id = t.entity_id
+          JOIN l{k - 1} p ON p.entity_id = n.entity_id
+        )"""
+        for k in range(1, 6)
+    )
+    sqls["kg_entity_communities"] = f"""
+        WITH g0 AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        und AS (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+        lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
+        l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters}
+        SELECT entity_id, label FROM l5
     """
 
     # MinHash LSH banding + agreement-estimate over the materialized

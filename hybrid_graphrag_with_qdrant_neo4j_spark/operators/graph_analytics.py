@@ -1,5 +1,6 @@
 """Entity-graph analytics over the canonical edge table: degree
-centrality and fixed-iteration PageRank.
+centrality, fixed-iteration PageRank, k-hop neighborhood expansion,
+and label-propagation community detection.
 
 The reference stores its graph in Neo4j, where these questions are
 Cypher one-liners over a single-node store (e.g. ``MATCH (e)-[r]->()
@@ -38,7 +39,7 @@ aggregates use elsewhere; AQE skew-join handles the rank-join side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def degree_centrality(
@@ -139,3 +140,132 @@ def pagerank(
     nodes.unpersist()
     ge.unpersist()
     return ranks
+
+
+def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """DISTINCT pairs with both directions materialized — the adjacency
+    a 'neighbors' walk needs when the stored edges are directed (the
+    reference's RELATES_TO edges are; its Cypher walks both ways with
+    an undirected pattern)."""
+    g = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    return g.unionByName(
+        g.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def khop_neighbors(
+    edges: DataFrame,
+    seeds,
+    k: int = 2,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    undirected: bool = True,
+) -> DataFrame:
+    """Min-hop distance (≤ k) from any seed entity — the multi-hop
+    neighborhood expansion the reference would run as a variable-length
+    Cypher pattern (``MATCH (e {name: $n})-[*..k]-(m)``) over its
+    single-node Neo4j store (reference retrieval.py:281-290 is the
+    1-hop case).  Returns (entity_id, hop) with hop = the BFS level the
+    entity was first reached at (seeds are hop 0, present even if
+    isolated).
+
+    Frontier BFS as joins: the deduped adjacency is repartitioned on
+    ``src`` and persisted ONCE, so each hop shuffles only the frontier
+    (typically tiny vs. the edge table); the visited set grows by
+    anti-join, so no entity is ever expanded twice — on a 100 TB graph
+    the work per hop is O(frontier ⋈ edges), not O(k × edges).
+    ``localCheckpoint`` after each hop keeps the plan O(1)-deep.
+    Early-exits when a frontier drains (the per-hop count is on an
+    already-materialized checkpoint, so it is free)."""
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame([(str(s),) for s in seeds], "entity_id string")
+    else:
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
+    if undirected:
+        g = _undirected(edges, src, dst)
+    else:
+        g = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    g = g.repartition("src").persist()
+
+    visited = (
+        seeds.distinct()
+        .select("entity_id", F.lit(0).alias("hop"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("entity_id")
+    for i in range(1, k + 1):
+        nxt = (
+            g.join(frontier.withColumnRenamed("entity_id", "src"), "src")
+            .select(F.col("dst").alias("entity_id"))
+            .distinct()
+            .join(visited.select("entity_id"), "entity_id", "left_anti")
+            .select("entity_id", F.lit(i).alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("entity_id")
+    g.unpersist()
+    return visited
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    undirected entity graph — the structure a GraphRAG uses for
+    global/community-level summarization, which connected components
+    (operators/components.py) cannot give on a well-connected KG (one
+    giant component ≠ one community).
+
+    Deterministic contract (shared with the unrolled DuckDB twin):
+    adjacency = DISTINCT undirected pairs (self-loops kept — a node
+    votes for itself exactly when the KG stores a reflexive edge);
+    ``label_0(v) = v``; each iteration every node adopts the most
+    frequent label among its neighbors, ties broken by MIN label; a
+    node with no neighbors keeps its label.  Fixed iteration count —
+    synchronous LPA can 2-cycle on bipartite structures, so convergence
+    detection is deliberately not the stop rule on either engine.
+
+    Per-iteration cost: one shuffle of (dst, label) partials (map-side
+    combined) + a per-node window over its (small) label histogram; the
+    adjacency is repartitioned on ``src`` and persisted once, so —
+    like :func:`pagerank` — iterations shuffle only label-sized data,
+    never the edge table."""
+    g = _undirected(edges, src, dst).repartition("src").persist()
+    nodes = g.select(F.col("src").alias("entity_id")).distinct().persist()
+    nodes.count()
+
+    labels = nodes.select("entity_id", F.col("entity_id").alias("label"))
+    prev = None
+    w = Window.partitionBy("entity_id").orderBy(F.desc("_c"), F.asc("label"))
+    for i in range(iterations):
+        votes = (
+            g.join(
+                labels.select(F.col("entity_id").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("entity_id"), "label")
+            .agg(F.count("*").alias("_c"))
+        )
+        top = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("entity_id", F.col("label").alias("_new"))
+        )
+        labels = labels.join(top, "entity_id", "left").select(
+            "entity_id", F.coalesce("_new", "label").alias("label")
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            labels = labels.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = labels
+    g.unpersist()
+    nodes.unpersist()
+    return labels

@@ -145,6 +145,140 @@ def test_pagerank_randomized_graphs_vs_python_oracle(spark):
             assert got[k] == pytest.approx(want[k], abs=1e-9), (trial, k)
 
 
+def _khop_py(pairs, seeds, k, undirected=True):
+    adj = {}
+    for a, b in set(pairs):
+        adj.setdefault(a, set()).add(b)
+        if undirected:
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        nxt = set()
+        for v in frontier:
+            nxt |= adj.get(v, set())
+        nxt -= dist.keys()
+        for v in nxt:
+            dist[v] = hop
+        frontier = nxt
+    return dist
+
+
+def _lpa_py(pairs, iterations):
+    adj = {}
+    for a, b in set(pairs):
+        adj.setdefault(a, []).append(b)
+        if a != b:
+            adj.setdefault(b, []).append(a)
+    # dedup both directions the way _undirected's DISTINCT does
+    adj = {v: sorted(set(ns)) for v, ns in adj.items()}
+    labels = {v: v for v in adj}
+    for _ in range(iterations):
+        new = {}
+        for v, ns in adj.items():
+            counts = {}
+            for n in ns:
+                counts[labels[n]] = counts.get(labels[n], 0) + 1
+            best = min(counts, key=lambda l: (-counts[l], l))
+            new[v] = best
+        labels = new
+    return labels
+
+
+def test_khop_matches_reference(edges):
+    for k in (0, 1, 2, 3):
+        got = {
+            r["entity_id"]: r["hop"]
+            for r in ga.khop_neighbors(edges, ["a"], k=k).collect()
+        }
+        assert got == _khop_py(_PAIRS, ["a"], k), k
+
+
+def test_khop_directed_and_multi_seed(edges):
+    got = {
+        r["entity_id"]: r["hop"]
+        for r in ga.khop_neighbors(edges, ["a", "e"], k=2, undirected=False).collect()
+    }
+    assert got == _khop_py(_PAIRS, ["a", "e"], 2, undirected=False)
+
+
+def test_khop_isolated_seed_is_hop_zero(edges):
+    got = {
+        r["entity_id"]: r["hop"]
+        for r in ga.khop_neighbors(edges, ["zzz"], k=3).collect()
+    }
+    assert got == {"zzz": 0}
+
+
+def test_khop_randomized_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(23)
+    for trial in range(4):
+        n = rng.randint(3, 14)
+        m = rng.randint(2, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        seeds = [f"n{rng.randrange(n)}"]
+        k = rng.randint(1, 4)
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        got = {
+            r["entity_id"]: r["hop"]
+            for r in ga.khop_neighbors(edges, seeds, k=k).collect()
+        }
+        assert got == _khop_py(pairs, seeds, k), (trial, seeds, k)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two triangles joined by one bridge edge: LPA should settle each
+    triangle on its own min label."""
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("x", "y"), ("y", "z"), ("x", "z"),
+        ("c", "x"),
+    ]
+    rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, chunk_id string, url string"
+    )
+    got = {
+        r["entity_id"]: r["label"]
+        for r in ga.label_propagation(edges, iterations=5).collect()
+    }
+    assert got == _lpa_py(pairs, 5)
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+
+
+def test_label_propagation_randomized_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(41)
+    for trial in range(4):
+        n = rng.randint(3, 12)
+        m = rng.randint(2, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        iters = rng.randint(1, 5)
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        got = {
+            r["entity_id"]: r["label"]
+            for r in ga.label_propagation(edges, iterations=iters).collect()
+        }
+        assert got == _lpa_py(pairs, iters), (trial, iters)
+
+
 def test_pagerank_iteration_reuses_cached_edges(spark):
     """Plan gate: the per-iteration contribs plan must read the
     persisted (src, dst, outdeg) table from the cache (InMemoryTableScan

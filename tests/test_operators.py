@@ -647,3 +647,98 @@ def test_term_chunk_edges_plan_is_shuffle_free(spark):
     )
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (lexical upgrade of term_search's uniform score-sum)
+# ---------------------------------------------------------------------------
+
+def _bm25_py(doc_tokens, query, k1=1.2, b=0.75):
+    """Pure-Python BM25 (Lucene idf form) over {doc_id: [tokens]}."""
+    n = len(doc_tokens)
+    avgdl = sum(len(t) for t in doc_tokens.values()) / n
+    df = {}
+    for toks in doc_tokens.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for d, toks in doc_tokens.items():
+        s = 0.0
+        for qt, w in query:
+            tf = toks.count(qt)
+            if tf == 0 or qt not in df:
+                continue
+            idf = math.log(1.0 + (n - df[qt] + 0.5) / (df[qt] + 0.5))
+            s += w * idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if s > 0.0:
+            out[d] = s
+    return out
+
+
+_BM25_DOCS = {
+    "d1": "spark join window spark spark".split(),
+    "d2": "join join join stream".split(),
+    "d3": "window stream stream pipeline model".split(),
+    "d4": "totally unrelated tokens here now".split(),
+    "d5": "spark".split(),
+}
+
+
+def test_bm25_rank_matches_reference(spark):
+    occ = spark.createDataFrame(
+        [(d, t) for d, toks in _BM25_DOCS.items() for t in toks],
+        "doc_id string, term string",
+    )
+    query = [("spark", 1.0), ("stream", 2.0)]
+    qdf = spark.createDataFrame(query, "term string, score double")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in retrieval.bm25_rank(occ, qdf, top_k=10).collect()
+    }
+    want = _bm25_py(_BM25_DOCS, query)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d] == pytest.approx(want[d], rel=1e-12), d
+
+
+def test_bm25_rank_many_equals_per_query(spark):
+    occ = spark.createDataFrame(
+        [(d, t) for d, toks in _BM25_DOCS.items() for t in toks],
+        "doc_id string, term string",
+    )
+    queries = {
+        "q1": [("spark", 1.0)],
+        "q2": [("join", 1.0), ("stream", 1.0)],
+        "q3": [("pipeline", 3.0), ("spark", 0.5)],
+    }
+    qmany = spark.createDataFrame(
+        [(q, t, w) for q, terms in queries.items() for t, w in terms],
+        "query_id string, term string, score double",
+    )
+    many = retrieval.bm25_rank_many(occ, qmany, top_k=3).collect()
+    by_q = {}
+    for r in many:
+        by_q.setdefault(r["query_id"], {})[r["doc_id"]] = r["score"]
+    for q, terms in queries.items():
+        qdf = spark.createDataFrame(terms, "term string, score double")
+        single = {
+            r["doc_id"]: r["score"]
+            for r in retrieval.bm25_rank(occ, qdf, top_k=3).collect()
+        }
+        assert set(by_q.get(q, {})) == set(single), q
+        for d, s in single.items():
+            assert by_q[q][d] == pytest.approx(s, rel=1e-12), (q, d)
+
+
+def test_bm25_top_k_and_tiebreak(spark):
+    # two identical docs tie exactly -> doc_id asc breaks the tie
+    docs = {"a": ["x", "y"], "b": ["x", "y"], "c": ["y", "z"]}
+    occ = spark.createDataFrame(
+        [(d, t) for d, toks in docs.items() for t in toks],
+        "doc_id string, term string",
+    )
+    qdf = spark.createDataFrame([("x", 1.0)], "term string, score double")
+    rows = retrieval.bm25_rank(occ, qdf, top_k=1).collect()
+    assert [r["doc_id"] for r in rows] == ["a"]
