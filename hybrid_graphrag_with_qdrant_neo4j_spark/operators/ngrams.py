@@ -152,6 +152,26 @@ def term_chunk_edges(chunks: DataFrame, jvm_ngrams: bool = True) -> DataFrame:
     )
 
 
+def term_chunk_occurrences(chunks: DataFrame) -> DataFrame:
+    """chunks -> (chunk_id, term) with ONE ROW PER OCCURRENCE — the
+    frequency-preserving sibling of :func:`term_chunk_edges` that BM25
+    ranking needs (``term_chunk_edges`` is MERGE-deduped per chunk, so
+    term frequencies are gone by design; reference nlp_graph.py:93-94).
+
+    Same vocabulary as the edge table (stopword-filtered unigrams +
+    bigrams + trigrams from the identical tokenizer), same plan shape
+    (one Arrow UDF emits the token array, n-gram construction is JVM
+    column algebra) — only the ``array_distinct`` calls are dropped so
+    multiplicity survives.  No shuffle: the output is a per-row explode;
+    downstream BM25 statistics do their own partial+final aggregation."""
+    tokd = chunks.select("chunk_id", _tokens_udf(F.col("text")).alias("_toks"))
+    toks = F.col("_toks")
+    sw = _stopword_lit()
+    uni = F.filter(toks, lambda t: ~F.array_contains(sw, t))
+    grams = F.concat(uni, _adjacent_grams(toks, 2), _adjacent_grams(toks, 3))
+    return tokd.select("chunk_id", F.explode(grams).alias("term"))
+
+
 def term_counts_per_chunk(edges: DataFrame) -> DataFrame:
     """Per-chunk n-gram counts (cli/main.py:90-97 returns lens)."""
     return edges.groupBy("chunk_id", "type").agg(F.count("*").alias("n_terms"))

@@ -10,6 +10,8 @@ become joins.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -98,12 +100,13 @@ def term_search_many(
 
 
 def bm25_rank(
-    doc_terms: DataFrame,
+    doc_terms: DataFrame | None,
     query_terms: DataFrame,
     k1: float = 1.2,
     b: float = 0.75,
     top_k: int = 10,
     doc_col: str = "doc_id",
+    stats: "Bm25Stats | None" = None,
 ) -> DataFrame:
     """BM25 ranking over a (doc_id, term) occurrence table — the
     standard lexical upgrade of :func:`term_search`'s uniform score-sum
@@ -127,25 +130,42 @@ def bm25_rank(
     driver-side, nothing quadratic."""
     qt = query_terms.select(F.lit("_q").alias("query_id"), "term", "score")
     return (
-        bm25_rank_many(doc_terms, qt, k1=k1, b=b, top_k=top_k, doc_col=doc_col)
+        bm25_rank_many(
+            doc_terms, qt, k1=k1, b=b, top_k=top_k, doc_col=doc_col, stats=stats
+        )
         .drop("query_id")
         .orderBy(F.desc("score"), F.asc("doc_id"))
     )
 
 
-def bm25_rank_many(
-    doc_terms: DataFrame,
-    query_terms: DataFrame,
-    k1: float = 1.2,
-    b: float = 0.75,
-    top_k: int = 10,
-    doc_col: str = "doc_id",
-) -> DataFrame:
-    """Batch twin of :func:`bm25_rank`: ``query_terms(query_id, term,
-    score)`` is the whole query batch; corpus statistics (tf, df, doc
-    length, N, avgdl) are computed ONCE and every query's ranking reads
-    them in one shuffle — N queries never rescan the corpus.  Returns
-    (query_id, doc_id, score) with ≤ top_k rows per query."""
+class Bm25Stats(NamedTuple):
+    """Precomputed BM25 corpus statistics (see :func:`bm25_stats`)."""
+
+    tf_dlen: DataFrame  # (doc_id, term, _tf, _dlen)
+    idf: DataFrame  # (term, _idf, _avgdl)
+
+    def persist(self) -> "Bm25Stats":
+        self.tf_dlen.persist()
+        self.idf.persist()
+        return self
+
+    def unpersist(self) -> None:
+        self.tf_dlen.unpersist()
+        self.idf.unpersist()
+
+
+def bm25_stats(doc_terms: DataFrame, doc_col: str = "doc_id") -> Bm25Stats:
+    """Corpus-side BM25 statistics, computed once and reusable across
+    query batches: term frequencies joined with doc lengths, and the
+    per-term Lucene idf carrying avgdl.  A serving facade persists (or,
+    at 100 TB, writes to parquet bucketed by term — the shape of an
+    inverted index) and ranks many batches against the same stats
+    without rescanning the corpus.
+
+    Plan shape: tf is one map-side-combined shuffle on (doc_id, term);
+    doc lengths reuse the same scan; df reduces the already-aggregated
+    tf table on term; the 1-row corpus aggregate (N, avgdl) joins on a
+    literal key via broadcast (no ``crossJoin``)."""
     occ = doc_terms.select(F.col(doc_col).alias("doc_id"), "term")
     tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("_tf"))
     dlen = occ.groupBy("doc_id").agg(F.count("*").alias("_dlen"))
@@ -166,9 +186,31 @@ def bm25_rank_many(
             "_avgdl",
         )
     )
+    return Bm25Stats(tf_dlen=tf.join(dlen, "doc_id"), idf=idf)
+
+
+def bm25_rank_many(
+    doc_terms: DataFrame | None,
+    query_terms: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    doc_col: str = "doc_id",
+    stats: Bm25Stats | None = None,
+) -> DataFrame:
+    """Batch twin of :func:`bm25_rank`: ``query_terms(query_id, term,
+    score)`` is the whole query batch; corpus statistics (tf, df, doc
+    length, N, avgdl) are computed ONCE and every query's ranking reads
+    them in one shuffle — N queries never rescan the corpus.  Pass a
+    precomputed (persisted) :func:`bm25_stats` via ``stats`` to reuse
+    the corpus side across calls.  Returns (query_id, doc_id, score)
+    with ≤ top_k rows per query."""
+    if stats is None:
+        stats = bm25_stats(doc_terms, doc_col=doc_col)
     scored = (
-        tf.join(F.broadcast(query_terms.join(F.broadcast(idf), "term")), "term")
-        .join(dlen, "doc_id")
+        stats.tf_dlen.join(
+            F.broadcast(query_terms.join(F.broadcast(stats.idf), "term")), "term"
+        )
         .select(
             "query_id",
             "doc_id",

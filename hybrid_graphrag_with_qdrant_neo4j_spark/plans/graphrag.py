@@ -66,6 +66,7 @@ class GraphRAG:
         ):
             self._ann = None  # manifest without data: fall back to scan
         self._centroids = None  # K-row quantizer, read once per session
+        self._bm25: retrieval.Bm25Stats | None = None  # lazy, persisted
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -85,6 +86,9 @@ class GraphRAG:
         would refresh via snapshot metadata instead)."""
         self._cache.clear()
         self._centroids = None
+        if self._bm25 is not None:
+            self._bm25.unpersist()
+            self._bm25 = None
         self._ann = load_manifest(self._dir, ANN_INDEX_STAGE)
         if self._ann is not None and not os.path.isdir(
             os.path.join(self._dir, ANN_INDEX_STAGE, "vectors")
@@ -137,11 +141,47 @@ class GraphRAG:
         emb = self.table("chunk_embeddings")
         return retrieval.vector_search(emb, query, top_k=top_k)
 
-    def graph_chunks(self, query: str, top_k: int = 10) -> DataFrame:
-        """GraphRetriever.retrieve_chunks: term search + entity probe,
-        merged keep-max (retrieval.py:316-371)."""
+    def bm25_stats(self) -> retrieval.Bm25Stats:
+        """Corpus-side BM25 statistics over the chunk n-gram vocabulary
+        (the frequency-preserving ``term_chunk_occurrences`` — the
+        MERGE-deduped edge table has no tf by design).  Computed once
+        per facade and persisted; ``refresh()`` drops it after KG
+        mutations.  At 100 TB the same stats write to parquet bucketed
+        by term (an inverted index) instead of executor memory."""
+        if self._bm25 is None:
+            from ..operators import ngrams as NG
+
+            occ = NG.term_chunk_occurrences(self.table("chunks"))
+            self._bm25 = retrieval.bm25_stats(occ, doc_col="chunk_id").persist()
+        return self._bm25
+
+    def bm25_chunks(self, query: str, top_k: int = 10) -> DataFrame:
+        """BM25-ranked lexical leg: same query n-grams as the count
+        scorer (``query_to_terms``), tf/idf/length-normalized instead of
+        uniform score-sum — the production upgrade of the reference's
+        matched-edge count (retrieval.py:206-214)."""
         terms = retrieval.query_to_terms(self.spark, query)
-        t = retrieval.term_search(self.table("term_chunk_edges"), terms, top_k=top_k)
+        return (
+            retrieval.bm25_rank(None, terms, top_k=top_k, stats=self.bm25_stats())
+            .withColumnRenamed("doc_id", "chunk_id")
+        )
+
+    def graph_chunks(
+        self, query: str, top_k: int = 10, lexical: str = "count"
+    ) -> DataFrame:
+        """GraphRetriever.retrieve_chunks: term search + entity probe,
+        merged keep-max (retrieval.py:316-371).  ``lexical="bm25"``
+        swaps the uniform count scorer for BM25 over the same n-gram
+        vocabulary; the entity-probe merge and the flat 1.0 entity score
+        are unchanged (hybrid fusion min-max normalizes the leg, so the
+        scale change does not leak into the fused score)."""
+        if lexical == "bm25":
+            t = self.bm25_chunks(query, top_k=top_k)
+        else:
+            terms = retrieval.query_to_terms(self.spark, query)
+            t = retrieval.term_search(
+                self.table("term_chunk_edges"), terms, top_k=top_k
+            )
         cands = retrieval.query_entity_candidates(query)
         if cands:
             probe = self.spark.createDataFrame(
@@ -180,15 +220,17 @@ class GraphRAG:
         top_k: int = 10,
         vector_weight: float = 0.5,
         context_size: int = 2,
+        lexical: str = "count",
     ) -> dict:
         """Returns {"chunks": DataFrame, "triplets": DataFrame | None}.
 
         chunks columns: chunk_id, text, score (+ is_match/chunk_index in
         context mode) — the tuple shape the reference prints
-        (cli/main.py:227-309).
+        (cli/main.py:227-309).  ``lexical="bm25"`` upgrades the graph
+        leg's term scorer (see :meth:`graph_chunks`).
         """
         v = self.vector_chunks(q, top_k)
-        g = self.graph_chunks(q, top_k)
+        g = self.graph_chunks(q, top_k, lexical=lexical)
         fused = retrieval.hybrid_fuse(v, g, vector_weight=vector_weight, top_k=top_k)
         chunks_tbl = self.table("chunks")
 
@@ -258,6 +300,7 @@ class GraphRAG:
         vector_weight: float = 0.5,
         mode: str = "hybrid",
         context_size: int = 2,
+        lexical: str = "count",
     ) -> DataFrame:
         """Batch hybrid retrieval: [(query_id, query_text)] or a
         2-column DataFrame of the same -> ONE plan answering every query
@@ -276,11 +319,15 @@ class GraphRAG:
                 "query_id string, query_text string",
             )
         v = self._vector_chunks_many(queries, top_k=top_k)
-        g = retrieval.term_search_many(
-            self.table("term_chunk_edges"),
-            retrieval.queries_to_terms(self.spark, queries),
-            top_k=top_k,
-        )
+        qterms = retrieval.queries_to_terms(self.spark, queries)
+        if lexical == "bm25":
+            g = retrieval.bm25_rank_many(
+                None, qterms, top_k=top_k, stats=self.bm25_stats()
+            ).withColumnRenamed("doc_id", "chunk_id")
+        else:
+            g = retrieval.term_search_many(
+                self.table("term_chunk_edges"), qterms, top_k=top_k
+            )
         # entity probe per query (graph_chunks parity): capitalized-phrase
         # candidates -> mentions join, flat score 1.0, keep-max merge with
         # the term side, per-query top-k (retrieval.py:316-371 semantics)

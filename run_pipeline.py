@@ -83,6 +83,7 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
         "include_triplets": True,
         "with_context": False,
         "context_size": args.context_size,
+        "lexical": getattr(args, "lexical", "count"),
     }
     print("\nGraphRAG Interactive Query Session")
     print("Type 'exit' or 'quit' to end the session")
@@ -112,6 +113,7 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
             print("  set context_size <number> - Set number of context chunks")
+            print("  set lexical <count/bm25> - Term scorer for the graph leg")
             print("  show settings - Display current settings")
             print("  help - Show this help message")
             print("  exit/quit - Exit the session")
@@ -171,6 +173,7 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                     vector_weight=args.vector_weight,
                     mode=mode,
                     context_size=settings["context_size"],
+                    lexical=settings["lexical"],
                 ).collect()
                 by_query: dict = {}
                 for r in rows:
@@ -203,6 +206,9 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                 elif setting == "context_size" and value.isdigit():
                     settings["context_size"] = int(value)
                     print(f"Set context_size to {value}")
+                elif setting == "lexical" and value in ("count", "bm25"):
+                    settings["lexical"] = value
+                    print(f"Set lexical to {value}")
                 else:
                     print(f"Unknown setting or invalid value: {setting} {value}")
             continue
@@ -223,6 +229,7 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                 top_k=settings["top_k"],
                 vector_weight=args.vector_weight,
                 context_size=settings["context_size"],
+                lexical=settings["lexical"],
             )
             if settings["with_context"] and settings["include_triplets"]:
                 # the reference includes triplets alongside context
@@ -380,6 +387,7 @@ def _query_main(args) -> None:
         top_k=args.top_k,
         vector_weight=args.vector_weight,
         context_size=args.context_size,
+        lexical=args.lexical,
     )
     _render_query_results(args.mode, out, args.top_k)
     spark.stop()
@@ -403,6 +411,7 @@ def _query_many_main(args) -> None:
         vector_weight=args.vector_weight,
         mode=args.mode,
         context_size=args.context_size,
+        lexical=args.lexical,
     ).collect()
     by_query: dict = {}
     for r in out:
@@ -458,6 +467,9 @@ def main() -> None:
     qm.add_argument("--context-size", type=int, default=2)
     qm.add_argument("--n-probe", type=int, default=8,
                     help="IVF buckets probed per query when the KG has an index")
+    qm.add_argument("--lexical", choices=["count", "bm25"], default="count",
+                    help="term scorer for the graph leg (bm25 = tf/idf + "
+                    "length normalization over the same n-gram vocabulary)")
 
     app = sub.add_parser(
         "append",
@@ -527,6 +539,9 @@ def main() -> None:
     ip.add_argument("--vector-weight", type=float, default=0.5)
     ip.add_argument("--context-size", type=int, default=2)
     ip.add_argument("--n-probe", type=int, default=8)
+    ip.add_argument("--lexical", choices=["count", "bm25"], default="count",
+                    help="term scorer for the graph leg (bm25 = tf/idf + "
+                    "length normalization over the same n-gram vocabulary)")
 
     qp = sub.add_parser("query", help="query a built KG (reference: graphrag query)")
     qp.add_argument("query")
@@ -543,6 +558,9 @@ def main() -> None:
     qp.add_argument("--context-size", type=int, default=2)
     qp.add_argument("--n-probe", type=int, default=8,
                     help="IVF buckets probed per query when the KG has an index")
+    qp.add_argument("--lexical", choices=["count", "bm25"], default="count",
+                    help="term scorer for the graph leg (bm25 = tf/idf + "
+                    "length normalization over the same n-gram vocabulary)")
 
     argv = sys.argv[1:]
     if argv and argv[0].startswith("--"):  # legacy flat form == process

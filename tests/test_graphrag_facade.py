@@ -389,3 +389,112 @@ def test_interactive_analytics_command(kg, spark, monkeypatch, capsys):
     assert "Top 3 entities by PageRank:" in out
     assert "rank=" in out and "in=" in out and "out=" in out
     assert "Usage: analytics [N]" in out
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical mode (round-5: the graph leg's production term scorer)
+# ---------------------------------------------------------------------------
+
+def _bm25_chunk_oracle(kg, query, top_k, k1=1.2, b=0.75):
+    """Pure-python BM25 over the chunks' n-gram occurrence lists, with
+    query terms built exactly like retrieval.query_to_terms (deduped
+    n-grams, uniform weight 1.0)."""
+    import math
+
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+
+    docs = {}
+    for r in kg.table("chunks").select("chunk_id", "text").collect():
+        uni, bi, tri = tp.extract_ngrams(r["text"])
+        docs[r["chunk_id"]] = uni + bi + tri
+    uni, bi, tri = tp.extract_ngrams(query)
+    qterms = [(t, 1.0) for t in dict.fromkeys(uni + bi + tri)]
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    df = {}
+    for toks in docs.values():
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    scored = {}
+    for cid, toks in docs.items():
+        s = 0.0
+        for qt, w in qterms:
+            tf = toks.count(qt)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - df[qt] + 0.5) / (df[qt] + 0.5))
+            s += w * idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(toks) / avgdl)
+            )
+        if s > 0.0:
+            scored[cid] = s
+    ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+    return dict(ranked[:top_k])
+
+
+def test_bm25_chunks_match_python_oracle(kg):
+    """Facade BM25 leg == pure-python BM25 over the same chunk n-grams
+    (tokenizer, stopword rules, Lucene idf, k1/b all identical)."""
+    query = "Globex Systems announced a partnership"
+    got = {
+        r["chunk_id"]: r["score"]
+        for r in kg.bm25_chunks(query, top_k=5).collect()
+    }
+    want = _bm25_chunk_oracle(kg, query, top_k=5)
+    assert set(got) == set(want)
+    for cid, s in want.items():
+        assert got[cid] == pytest.approx(s, rel=1e-9), cid
+
+
+def test_bm25_query_e2e_and_ranking_differs_from_count(kg):
+    """lexical='bm25' end-to-end: fused output keeps the contract shape;
+    the graph leg's scores are BM25 (not the uniform count-sum)."""
+    q = "Who founded Globex Systems?"
+    res = kg.query(q, mode="hybrid", top_k=5, lexical="bm25")
+    rows = res["chunks"].collect()
+    assert 0 < len(rows) <= 5
+    assert {"chunk_id", "text", "score"} <= set(rows[0].asDict())
+    bm = {r["chunk_id"]: r["score"] for r in kg.bm25_chunks(q, top_k=20).collect()}
+    cnt = {
+        r["chunk_id"]: r["score"]
+        for r in kg.graph_chunks(q, top_k=20, lexical="count").collect()
+    }
+    # count scores are integral sums of 1.0 weights; BM25's are not
+    assert any(abs(s - round(s)) > 1e-9 for s in bm.values())
+    assert all(abs(s - round(s)) < 1e-9 for s in cnt.values())
+
+
+def test_query_many_bm25_matches_per_query(kg):
+    queries = [("q0", "Who founded Globex Systems?"), ("q1", "Acme Corporation")]
+    many = kg.query_many(queries, top_k=5, lexical="bm25")
+    got = {
+        (r["query_id"], r["chunk_id"], round(r["score"], 9))
+        for r in many.collect()
+    }
+    want = set()
+    for qid, qtext in queries:
+        res = kg.query(qtext, mode="hybrid", top_k=5, lexical="bm25")
+        for r in res["chunks"].collect():
+            want.add((qid, r["chunk_id"], round(r["score"], 9)))
+    assert got == want and got
+
+
+def test_interactive_set_lexical(kg, spark, monkeypatch, capsys):
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter([
+        "set lexical bm25",
+        "Who founded Globex Systems?",
+        "set lexical nope",
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", kg._dir]
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "Set lexical to bm25" in out
+    assert "QUERY RESULTS:" in out
+    assert "Unknown setting or invalid value: lexical nope" in out

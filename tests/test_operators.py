@@ -742,3 +742,71 @@ def test_bm25_top_k_and_tiebreak(spark):
     qdf = spark.createDataFrame([("x", 1.0)], "term string, score double")
     rows = retrieval.bm25_rank(occ, qdf, top_k=1).collect()
     assert [r["doc_id"] for r in rows] == ["a"]
+
+
+def test_bm25_precomputed_stats_equal_inline(spark):
+    """bm25_stats reuse (the facade's serving path) must score exactly
+    like the inline computation, across two different query batches."""
+    occ = spark.createDataFrame(
+        [(d, t) for d, toks in _BM25_DOCS.items() for t in toks],
+        "doc_id string, term string",
+    )
+    stats = retrieval.bm25_stats(occ).persist()
+    try:
+        for terms in ([("spark", 1.0), ("stream", 2.0)], [("join", 1.0)]):
+            qdf = spark.createDataFrame(terms, "term string, score double")
+            inline = {
+                r["doc_id"]: r["score"]
+                for r in retrieval.bm25_rank(occ, qdf, top_k=10).collect()
+            }
+            reused = {
+                r["doc_id"]: r["score"]
+                for r in retrieval.bm25_rank(
+                    None, qdf, top_k=10, stats=stats
+                ).collect()
+            }
+            assert set(reused) == set(inline)
+            for d, s in inline.items():
+                assert reused[d] == pytest.approx(s, rel=1e-12), d
+    finally:
+        stats.unpersist()
+
+
+def test_term_chunk_occurrences_tf_and_vocab(spark):
+    """term_chunk_occurrences must (a) share the edge table's exact term
+    vocabulary per chunk and (b) preserve n-gram multiplicity — the two
+    properties BM25 needs that the MERGE-deduped edges cannot give."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import textproc as tp
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import ngrams
+
+    chunks = spark.createDataFrame(
+        [
+            ("c1", "Spark joins the stream. Spark joins again!"),
+            ("c2", "the of and"),  # stopwords only -> bigrams/trigrams still emit
+            ("c3", ""),
+        ],
+        "chunk_id string, text string",
+    )
+    occ = ngrams.term_chunk_occurrences(chunks).collect()
+    got = {}
+    for r in occ:
+        got.setdefault(r["chunk_id"], []).append(r["term"])
+
+    # python oracle: same extract_ngrams pipeline WITHOUT dedup
+    want = {}
+    for cid, text in [(r["chunk_id"], r["text"]) for r in chunks.collect()]:
+        uni, bi, tri = tp.extract_ngrams(text)
+        terms = uni + bi + tri
+        if terms:
+            want[cid] = terms
+    assert {k: sorted(v) for k, v in got.items()} == {
+        k: sorted(v) for k, v in want.items()
+    }
+
+    # vocabulary parity with the deduped edge table
+    edges = ngrams.term_chunk_edges(chunks).collect()
+    vocab_edges = {}
+    for r in edges:
+        vocab_edges.setdefault(r["chunk_id"], set()).add(r["term"])
+    vocab_occ = {k: set(v) for k, v in got.items()}
+    assert vocab_occ == vocab_edges
