@@ -117,6 +117,18 @@ def _kg_dir(spark: SparkSession) -> str:
     w(ngrams.term_chunk_edges(en), "term_edges")
     w(triples_op.mentions(t), "mentions")
     w(entry(spark), "edges")  # canonical edges over the same 120-page corpus
+    # surface form -> canonical id, same linking path entry() used (the
+    # community retrieval join needs it to map mentions onto the labels)
+    _ents = linking.entity_nodes(t)
+    _names = t.select(F.col("subj").alias("name")).unionByName(
+        t.select(F.col("obj").alias("name"))
+    )
+    w(
+        components.canonical_mapping(
+            _names, linking.similarity_pairs_bruteforce(_ents)
+        ),
+        "entity_map",
+    )
     # entity name -> embedding, so the kg_edges oracle recomputes the
     # linking pairs (pairwise cosine >= 0.96) from the same vectors the
     # engine linked with (the crc32 hash embedder itself is parity-gated
@@ -1211,6 +1223,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return graph_analytics.label_propagation(_kg(spark, "edges"), iterations=5)
 
     q["kg_entity_communities"] = kg_entity_communities
+
+    def kg_entity_ppr(spark, sf):
+        """Graph analytics: 10-iteration personalized PageRank (random
+        walk with restart) from a query-entity seed — the principled
+        multi-hop weighting of the reference's seeded Cypher expansion
+        (retrieval.py:281-290)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        out = graph_analytics.personalized_pagerank(
+            _kg(spark, "edges"), ["acme corporation"], iterations=10
+        )
+        return out.select("entity_id", F.round("ppr", 6).alias("ppr"))
+
+    q["kg_entity_ppr"] = kg_entity_ppr
+
+    def kg_community_top_chunks(spark, sf):
+        """Global-search retrieval join: label-propagation communities →
+        member entities (through the surface-form → canonical map) →
+        top-3 chunks per community by distinct member-entity mentions."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        labels = graph_analytics.label_propagation(
+            _kg(spark, "edges"), iterations=5
+        )
+        return graph_analytics.community_chunks(
+            labels, _kg(spark, "entity_map"), _kg(spark, "mentions"), top_k=3
+        )
+
+    q["kg_community_top_chunks"] = kg_community_top_chunks
 
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
@@ -2380,6 +2425,75 @@ def oracle_sql() -> dict[str, str]:
         lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
         l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters}
         SELECT entity_id, label FROM l5
+    """
+
+    # 10-iteration personalized PageRank, unrolled (same contract as
+    # operators/graph_analytics.personalized_pagerank: restart = 1/|S|
+    # on the seed set, r0 = restart, dangling mass dropped, ppr > 0
+    # filter on the unrounded value — strictly positive iff reachable)
+    _ppr_iters = "".join(
+        f""",
+        p{k} AS (
+          SELECT n.entity_id,
+                 0.15 * n.restart + 0.85 * COALESCE(s.m, 0.0) AS pagerank,
+                 n.restart
+          FROM rs n LEFT JOIN (
+            SELECT ge.dst AS entity_id, SUM(rp.pagerank / ge.outdeg) AS m
+            FROM ge JOIN p{k - 1} rp ON rp.entity_id = ge.src
+            GROUP BY ge.dst
+          ) s ON n.entity_id = s.entity_id
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["kg_entity_ppr"] = f"""
+        WITH g AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+          UNION SELECT 'acme corporation'
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        rs AS (
+          SELECT entity_id,
+                 CASE WHEN entity_id = 'acme corporation'
+                      THEN 1.0 ELSE 0.0 END AS restart
+          FROM prnodes
+        ),
+        p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
+        SELECT entity_id, ROUND(pagerank, 6) AS ppr FROM p10
+        WHERE pagerank > 0
+    """
+
+    # communities (the l5 labels above) -> member entities through the
+    # surface-form map -> top-3 chunks per community by distinct member
+    # mentions, ties by chunk_id asc
+    sqls["kg_community_top_chunks"] = f"""
+        WITH g0 AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        und AS (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+        lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
+        l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters},
+        member AS (
+          SELECT em.name AS entity_name, l.entity_id, l.label
+          FROM l5 l JOIN {_kg_pq("entity_map")} em
+            ON em.canonical_id = l.entity_id
+        ),
+        per_chunk AS (
+          SELECT m.label, mn.chunk_id,
+                 COUNT(DISTINCT m.entity_id) AS n_entities
+          FROM {_kg_pq("mentions")} mn JOIN member m
+            ON mn.entity_name = m.entity_name
+          GROUP BY m.label, mn.chunk_id
+        )
+        SELECT label, chunk_id, n_entities FROM (
+          SELECT label, chunk_id, n_entities,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY n_entities DESC, chunk_id ASC) AS rn
+          FROM per_chunk
+        ) WHERE rn <= 3
     """
 
     # MinHash LSH banding + agreement-estimate over the materialized

@@ -142,6 +142,100 @@ def pagerank(
     return ranks
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Personalized PageRank: random walk with restart onto the seed
+    set — the graph-walk retrieval primitive (HippoRAG-style) behind
+    'entities relevant to THIS query', where global :func:`pagerank`
+    answers 'entities important overall'.  The reference's analogue is
+    the seeded Cypher expansion it runs around query entities
+    (retrieval.py:281-290); PPR is its principled multi-hop weighting.
+
+    Deterministic contract (shared with the unrolled DuckDB twin):
+    DISTINCT directed edges; restart(v) = 1/|S| for seed entities, 0
+    otherwise; r_0 = restart; r_{k+1}(v) = (1-d)·restart(v) +
+    d·Σ_{u→v} r_k(u)/outdeg(u); dangling mass dropped (the same
+    un-normalized GraphX convention :func:`pagerank` uses).  Seeds not
+    present in the graph still carry their restart mass (they walk
+    nowhere, matching the SQL twin's LEFT JOIN).  Returns (entity_id,
+    ppr) for entities with ppr > 0 — on a web-scale KG the nonzero set
+    is the seed neighborhood, not the graph.
+
+    Plan shape: identical to :func:`pagerank` — the (src, dst, outdeg)
+    table is repartitioned on src and persisted once, each iteration
+    shuffles only rank-sized rows, lineage is cut every
+    ``checkpoint_every`` iterations."""
+    spark = edges.sparkSession
+    if not isinstance(seeds, DataFrame):
+        seeds = spark.createDataFrame(
+            [(str(s),) for s in seeds], "entity_id string"
+        )
+    else:
+        seeds = seeds.select(F.col(seeds.columns[0]).alias("entity_id"))
+    seeds = seeds.distinct().persist()
+    n_seeds = seeds.count()
+    if n_seeds == 0:
+        seeds.unpersist()
+        return spark.createDataFrame([], "entity_id string, ppr double")
+
+    g = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        g.select(F.col("src").alias("entity_id"))
+        .unionByName(g.select(F.col("dst").alias("entity_id")))
+        .unionByName(seeds)
+        .distinct()
+        .persist()
+    )
+    outdeg = g.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    ge = g.join(outdeg, "src").repartition("src").persist()
+    ge.count()
+
+    restart = nodes.join(
+        seeds.withColumn("_r", F.lit(1.0 / n_seeds)), "entity_id", "left"
+    ).select("entity_id", F.coalesce("_r", F.lit(0.0)).alias("_restart"))
+    restart = restart.persist()
+    restart.count()
+
+    ranks = restart.select("entity_id", F.col("_restart").alias("pagerank"))
+    prev = None
+    for i in range(iterations):
+        contribs = _iteration_contribs(ge, ranks)
+        ranks = restart.join(contribs, "entity_id", "left").select(
+            "entity_id",
+            (
+                F.lit(1.0 - damping) * F.col("_restart")
+                + F.lit(damping) * F.coalesce("_mass", F.lit(0.0))
+            ).alias("pagerank"),
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
+    if iterations == 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.filter(F.col("pagerank") > 0.0).select(
+        "entity_id", F.col("pagerank").alias("ppr")
+    )
+    g.unpersist()
+    nodes.unpersist()
+    ge.unpersist()
+    restart.unpersist()
+    seeds.unpersist()
+    return out
+
+
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """DISTINCT pairs with both directions materialized — the adjacency
     a 'neighbors' walk needs when the stored edges are directed (the
@@ -269,3 +363,49 @@ def label_propagation(
     g.unpersist()
     nodes.unpersist()
     return labels
+
+
+def community_chunks(
+    labels: DataFrame,
+    entities: DataFrame,
+    mentions: DataFrame,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top chunks per community — the retrieval join behind GraphRAG
+    'global search': :func:`label_propagation` labels → member entities
+    → the chunks that mention them, ranked by how many distinct member
+    entities each chunk mentions.  A summarizer reads the top chunks of
+    each community instead of the whole corpus (the reference's Neo4j
+    KG has the same information one Cypher aggregation away; at 100 TB
+    this is the distributed form).
+
+    Inputs: ``labels(entity_id, label)``; ``entities(name,
+    canonical_id, ...)`` (the KG's surface-form → canonical-id map);
+    ``mentions(chunk_id, entity_name)``.  Returns (label, chunk_id,
+    n_entities) with ≤ top_k chunks per label, ties by chunk_id asc.
+
+    Plan shape: two hash joins on entity keys (the entities map is
+    small relative to mentions — Spark broadcasts it under AQE; the
+    mentions join shuffles on entity_name once), a map-side-combined
+    count-distinct per (label, chunk_id), and a per-label top-k rank
+    window — no driver-side state."""
+    member = labels.join(
+        entities.select(
+            F.col("name").alias("entity_name"),
+            F.col("canonical_id").alias("entity_id"),
+        ),
+        "entity_id",
+    )
+    per_chunk = (
+        mentions.join(member, "entity_name")
+        .groupBy("label", "chunk_id")
+        .agg(F.count_distinct("entity_id").alias("n_entities"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("n_entities"), F.asc("chunk_id")
+    )
+    return (
+        per_chunk.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

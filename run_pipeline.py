@@ -109,6 +109,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  batch <file> - Answer every query in <file> (one per"
                   " line) as ONE job")
             print("  analytics [N] - Top-N entities by PageRank + degrees")
+            print("  ppr <entity> - Entities near <entity> (personalized"
+                  " PageRank)")
             print("  set top_k <number> - Set number of top results")
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
@@ -145,6 +147,29 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                     f"  {r['entity_id']}: rank={r['pagerank']:.4f} "
                     f"in={r['in_degree']} out={r['out_degree']}"
                 )
+            continue
+        if low.startswith("ppr "):
+            from pyspark.sql import functions as F
+
+            from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+                graph_analytics,
+            )
+
+            seed = user_input.split(" ", 1)[1].strip().lower()
+            rows = (
+                graph_analytics.personalized_pagerank(
+                    rag.table("edges"), [seed]
+                )
+                .orderBy(F.desc("ppr"), F.asc("entity_id"))
+                .limit(settings["top_k"])
+                .collect()
+            )
+            if len(rows) <= 1:
+                print(f"No graph neighborhood found for '{seed}'.")
+            else:
+                print(f"\nEntities near '{seed}' (personalized PageRank):")
+                for r in rows:
+                    print(f"  {r['entity_id']}: {r['ppr']:.6f}")
             continue
         if low.startswith("batch "):
             # whole-file retrieval through query_many: the batch is ONE
@@ -274,7 +299,7 @@ def _analytics_main(args) -> None:
         .limit(args.top)
         .collect()
     )
-    print(json.dumps({
+    out = {
         "n_entities": deg.count(),
         "iterations": args.iterations,
         "damping": args.damping,
@@ -287,7 +312,56 @@ def _analytics_main(args) -> None:
             }
             for r in top
         ],
-    }, indent=2))
+    }
+    if args.seed:
+        ppr = (
+            graph_analytics.personalized_pagerank(
+                edges,
+                [args.seed.lower()],
+                damping=args.damping,
+                iterations=args.iterations,
+            )
+            .orderBy(F.desc("ppr"), F.asc("entity_id"))
+            .limit(args.top)
+            .collect()
+        )
+        out["ppr_seed"] = args.seed.lower()
+        out["ppr_top"] = [
+            {"entity_id": r["entity_id"], "ppr": round(r["ppr"], 6)} for r in ppr
+        ]
+    if args.communities:
+        rag = GraphRAG(spark, args.kg_dir)
+        labels = graph_analytics.label_propagation(
+            edges, iterations=args.lpa_iterations
+        ).persist()
+        top_chunks = graph_analytics.community_chunks(
+            labels,
+            rag.table("entities"),
+            rag.table("mentions"),
+            top_k=args.chunks_per_community,
+        )
+        sizes = (
+            labels.groupBy("label").agg(F.count("*").alias("n_members"))
+            .orderBy(F.desc("n_members"), F.asc("label"))
+            .limit(args.top)
+            .collect()
+        )
+        chunks_by_label: dict = {}
+        for r in top_chunks.collect():
+            chunks_by_label.setdefault(r["label"], []).append(
+                {"chunk_id": r["chunk_id"], "n_entities": r["n_entities"]}
+            )
+        out["n_communities"] = labels.select("label").distinct().count()
+        out["communities"] = [
+            {
+                "label": r["label"],
+                "n_members": r["n_members"],
+                "top_chunks": chunks_by_label.get(r["label"], []),
+            }
+            for r in sizes
+        ]
+        labels.unpersist()
+    print(json.dumps(out, indent=2))
     spark.stop()
 
 
@@ -508,6 +582,14 @@ def main() -> None:
     an.add_argument("--top", type=int, default=10)
     an.add_argument("--iterations", type=int, default=10)
     an.add_argument("--damping", type=float, default=0.85)
+    an.add_argument("--seed", default=None,
+                    help="entity name: add personalized-PageRank top "
+                    "entities around this seed (random walk with restart)")
+    an.add_argument("--communities", action="store_true",
+                    help="add label-propagation communities with their "
+                    "top chunks (global-search context)")
+    an.add_argument("--lpa-iterations", type=int, default=5)
+    an.add_argument("--chunks-per-community", type=int, default=3)
 
     cp = sub.add_parser(
         "compact",

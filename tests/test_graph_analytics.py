@@ -314,3 +314,160 @@ def test_pagerank_iteration_reuses_cached_edges(spark):
         assert "InMemoryTableScan" in plan, plan
     finally:
         ge.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random walk with restart onto a seed set)
+# ---------------------------------------------------------------------------
+
+def _ppr_py(pairs, seeds, damping=0.85, iterations=10):
+    g = sorted(set(pairs))
+    nodes = sorted({a for a, _ in g} | {b for _, b in g} | set(seeds))
+    outdeg = {}
+    for a, _ in g:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    restart = {n: (1.0 / len(set(seeds)) if n in set(seeds) else 0.0) for n in nodes}
+    rank = dict(restart)
+    for _ in range(iterations):
+        mass = {n: 0.0 for n in nodes}
+        for a, b in g:
+            mass[b] += rank[a] / outdeg[a]
+        rank = {
+            n: (1.0 - damping) * restart[n] + damping * mass[n] for n in nodes
+        }
+    return {n: r for n, r in rank.items() if r > 0.0}
+
+
+def test_ppr_matches_reference(edges):
+    got = {
+        r["entity_id"]: r["ppr"]
+        for r in ga.personalized_pagerank(edges, ["a"]).collect()
+    }
+    want = _ppr_py(_PAIRS, ["a"])
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+    # the disconnected pair (e, f) must carry zero mass -> absent
+    assert "e" not in got and "f" not in got
+
+
+def test_ppr_multi_seed_and_foreign_seed(edges):
+    """Two seeds split the restart mass; a seed absent from the graph
+    keeps its restart mass but contributes nothing else."""
+    got = {
+        r["entity_id"]: r["ppr"]
+        for r in ga.personalized_pagerank(edges, ["a", "zzz"]).collect()
+    }
+    want = _ppr_py(_PAIRS, ["a", "zzz"])
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-12), n
+    assert got["zzz"] == pytest.approx(0.15 * 0.5, abs=1e-12)
+
+
+def test_ppr_empty_seeds(edges, spark):
+    assert ga.personalized_pagerank(edges, []).count() == 0
+
+
+def test_ppr_randomized_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(59)
+    for trial in range(3):
+        n = rng.randint(3, 12)
+        m = rng.randint(2, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        seeds = sorted({f"n{rng.randrange(n)}" for _ in range(rng.randint(1, 3))})
+        iters = rng.randint(1, 6)
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        got = {
+            r["entity_id"]: r["ppr"]
+            for r in ga.personalized_pagerank(
+                edges, seeds, iterations=iters
+            ).collect()
+        }
+        want = _ppr_py(pairs, seeds, iterations=iters)
+        assert set(got) == set(want), (trial, seeds, iters)
+        for k in want:
+            assert got[k] == pytest.approx(want[k], abs=1e-12), (trial, k)
+
+
+# ---------------------------------------------------------------------------
+# Community top-chunks (global-search retrieval join)
+# ---------------------------------------------------------------------------
+
+def test_community_chunks(spark):
+    labels = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("x", "x"), ("y", "x")],
+        "entity_id string, label string",
+    )
+    entities = spark.createDataFrame(
+        # two surface forms map to canonical 'a'
+        [("a", "a"), ("a corp", "a"), ("b", "b"), ("x", "x"), ("y", "y")],
+        "name string, canonical_id string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "a"), ("c1", "a corp"), ("c1", "b"),  # c1: entities {a,b}
+            ("c2", "a"),                                  # c2: {a}
+            ("c3", "x"), ("c3", "y"),                     # c3: {x,y}
+            ("c4", "y"),
+        ],
+        "chunk_id string, entity_name string",
+    )
+    got = {
+        (r["label"], r["chunk_id"]): r["n_entities"]
+        for r in ga.community_chunks(labels, entities, mentions, top_k=2).collect()
+    }
+    assert got == {
+        ("a", "c1"): 2,  # 'a' (via two surface forms, counted once) + 'b'
+        ("a", "c2"): 1,
+        ("x", "c3"): 2,
+        ("x", "c4"): 1,
+    }
+
+
+def test_community_chunks_top_k_tiebreak(spark):
+    labels = spark.createDataFrame([("a", "a")], "entity_id string, label string")
+    entities = spark.createDataFrame([("a", "a")], "name string, canonical_id string")
+    mentions = spark.createDataFrame(
+        [("c2", "a"), ("c1", "a"), ("c3", "a")], "chunk_id string, entity_name string"
+    )
+    rows = ga.community_chunks(labels, entities, mentions, top_k=2).collect()
+    assert [(r["label"], r["chunk_id"]) for r in rows] == [("a", "c1"), ("a", "c2")]
+
+
+def test_cli_analytics_seed_and_communities(spark, tmp_path_factory, monkeypatch, capsys):
+    """analytics --seed + --communities: PPR neighborhood around the
+    seed and label-propagation communities with their top chunks."""
+    import json
+
+    import run_pipeline
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path_factory.mktemp("kg_an2"))
+    pages = corpus.pages_spark_df(spark, 40, partitions=4)
+    build_kg(spark, pages, out, input_fingerprint="an2:40")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "analytics", "--kg-dir", out, "--top", "3",
+         "--seed", "Acme Corporation", "--communities"],
+    )
+    run_pipeline.main()
+    got = json.loads(capsys.readouterr().out)
+    assert got["ppr_seed"] == "acme corporation"
+    assert got["ppr_top"] and got["ppr_top"][0]["entity_id"] == "acme corporation"
+    assert all(r["ppr"] > 0 for r in got["ppr_top"])
+    assert got["n_communities"] >= 1
+    comm = got["communities"][0]
+    assert comm["n_members"] > 0 and comm["top_chunks"]
+    assert comm["top_chunks"][0]["n_entities"] >= comm["top_chunks"][-1]["n_entities"]

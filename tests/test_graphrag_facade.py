@@ -498,3 +498,21 @@ def test_interactive_set_lexical(kg, spark, monkeypatch, capsys):
     assert "Set lexical to bm25" in out
     assert "QUERY RESULTS:" in out
     assert "Unknown setting or invalid value: lexical nope" in out
+
+
+def test_interactive_ppr_command(kg, spark, monkeypatch, capsys):
+    """REPL `ppr <entity>`: seed neighborhood by personalized PageRank;
+    unknown seeds get the no-neighborhood message, not a crash."""
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter(["ppr Acme Corporation", "ppr zzz unknown", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", kg._dir]
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "Entities near 'acme corporation' (personalized PageRank):" in out
+    assert "acme corporation: 0." in out
+    assert "No graph neighborhood found for 'zzz unknown'." in out
