@@ -1257,6 +1257,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_community_top_chunks"] = kg_community_top_chunks
 
+    def kg_entity_ppr_many(spark, sf):
+        """Batch twin: two seed sets (one single-seed, one two-seed)
+        answered by ONE sparse iteration plan."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        seeds = spark.createDataFrame(
+            [
+                ("qa", "acme corporation"),
+                ("qb", "globex systems"),
+                ("qb", "initech labs"),
+            ],
+            "query_id string, entity_id string",
+        )
+        out = graph_analytics.personalized_pagerank_many(
+            _kg(spark, "edges"), seeds, iterations=10
+        )
+        return out.select(
+            "query_id", "entity_id", F.round("ppr", 6).alias("ppr")
+        )
+
+    q["kg_entity_ppr_many"] = kg_entity_ppr_many
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -2463,6 +2487,51 @@ def oracle_sql() -> dict[str, str]:
         ),
         p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
         SELECT entity_id, ROUND(pagerank, 6) AS ppr FROM p10
+        WHERE pagerank > 0
+    """
+
+    # batch PPR twin: dense (query × node) restart table, iterations
+    # grouped by query_id — same walk contract per query as kg_entity_ppr
+    _pprm_iters = "".join(
+        f""",
+        m{k} AS (
+          SELECT n.query_id, n.entity_id,
+                 0.15 * n.restart + 0.85 * COALESCE(s.m, 0.0) AS pagerank,
+                 n.restart
+          FROM rsm n LEFT JOIN (
+            SELECT rp.query_id, ge.dst AS entity_id,
+                   SUM(rp.pagerank / ge.outdeg) AS m
+            FROM ge JOIN m{k - 1} rp ON rp.entity_id = ge.src
+            GROUP BY rp.query_id, ge.dst
+          ) s ON s.query_id = n.query_id AND s.entity_id = n.entity_id
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["kg_entity_ppr_many"] = f"""
+        WITH g AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        qs AS (SELECT * FROM (VALUES ('qa', 'acme corporation'),
+                                     ('qb', 'globex systems'),
+                                     ('qb', 'initech labs')) v(query_id, entity_id)),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+          UNION SELECT entity_id FROM qs
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        qn AS (SELECT query_id, COUNT(*) AS cnt FROM qs GROUP BY query_id),
+        rsm AS (
+          SELECT qn.query_id, n.entity_id,
+                 CASE WHEN s.entity_id IS NOT NULL
+                      THEN 1.0 / qn.cnt ELSE 0.0 END AS restart
+          FROM qn CROSS JOIN prnodes n
+          LEFT JOIN qs s
+            ON s.query_id = qn.query_id AND s.entity_id = n.entity_id
+        ),
+        m0 AS (SELECT query_id, entity_id, restart AS pagerank, restart
+               FROM rsm){_pprm_iters}
+        SELECT query_id, entity_id, ROUND(pagerank, 6) AS ppr FROM m10
         WHERE pagerank > 0
     """
 

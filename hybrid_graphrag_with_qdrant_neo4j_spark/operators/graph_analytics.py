@@ -409,3 +409,95 @@ def community_chunks(
         .filter(F.col("_rn") <= top_k)
         .drop("_rn")
     )
+
+
+def personalized_pagerank_many(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Batch twin of :func:`personalized_pagerank`: ``seeds(query_id,
+    entity_id)`` carries every query's seed set, and ONE iteration plan
+    answers all of them — an evaluation set of 10k query neighborhoods
+    is one job, not 10k (the same batch doctrine as
+    ``term_search_many`` / ``ivf_index_topk_many``).
+
+    Identical per-query contract to the single-seed operator (restart =
+    1/|S_q|, r_0 = restart, dangling mass dropped, nonzero rows only) —
+    pytest-gated equal to N independent calls.
+
+    Scale shape: the rank state is SPARSE — (query_id, entity_id) rows
+    exist only where ppr > 0, i.e. each query's reachable neighborhood,
+    never |V|×|Q|.  Each iteration joins the rank state against the
+    once-persisted (src, dst, outdeg) table and reduces mass with a
+    map-side-combined sum keyed by (query_id, dst); the full-outer join
+    with the restart table re-injects seed mass.  Lineage is cut every
+    ``checkpoint_every`` iterations like the single-query form."""
+    spark = edges.sparkSession
+    seeds = seeds.select(
+        F.col(seeds.columns[0]).alias("query_id"),
+        F.col(seeds.columns[1]).alias("entity_id"),
+    ).distinct()
+
+    g = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    outdeg = g.groupBy("src").agg(F.count("*").alias("_outdeg"))
+    ge = g.join(outdeg, "src").repartition("src").persist()
+    ge.count()
+
+    w_n = Window.partitionBy("query_id")
+    restart = seeds.withColumn(
+        "_restart", F.lit(1.0) / F.count("*").over(w_n)
+    ).persist()
+    restart.count()
+
+    ranks = restart.select(
+        "query_id", "entity_id", F.col("_restart").alias("pagerank")
+    )
+    prev = None
+    for i in range(iterations):
+        mass = (
+            ge.join(
+                ranks.select(
+                    "query_id",
+                    F.col("entity_id").alias("src"),
+                    "pagerank",
+                ),
+                "src",
+            )
+            .groupBy("query_id", F.col("dst").alias("entity_id"))
+            .agg(F.sum(F.col("pagerank") / F.col("_outdeg")).alias("_mass"))
+        )
+        ranks = (
+            restart.select("query_id", "entity_id", "_restart")
+            .join(mass, ["query_id", "entity_id"], "full_outer")
+            .select(
+                "query_id",
+                "entity_id",
+                (
+                    F.lit(1.0 - damping)
+                    * F.coalesce("_restart", F.lit(0.0))
+                    + F.lit(damping) * F.coalesce("_mass", F.lit(0.0))
+                ).alias("pagerank"),
+            )
+            .filter(F.col("pagerank") > 0.0)
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev is not None:
+                prev.unpersist()
+            prev = ranks
+    if iterations == 0:
+        ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("query_id", "entity_id", F.col("pagerank").alias("ppr"))
+    g.unpersist()
+    ge.unpersist()
+    restart.unpersist()
+    return out

@@ -471,3 +471,29 @@ def test_cli_analytics_seed_and_communities(spark, tmp_path_factory, monkeypatch
     comm = got["communities"][0]
     assert comm["n_members"] > 0 and comm["top_chunks"]
     assert comm["top_chunks"][0]["n_entities"] >= comm["top_chunks"][-1]["n_entities"]
+
+
+def test_ppr_many_equals_per_query(edges, spark):
+    """One sparse batch plan == N independent single-seed PPR calls
+    (same nonzero row set, same scores)."""
+    batches = {
+        "q0": ["a"],
+        "q1": ["a", "e"],
+        "q2": ["zzz"],  # foreign seed: restart mass only
+    }
+    seeds = spark.createDataFrame(
+        [(q, s) for q, ss in batches.items() for s in ss],
+        "query_id string, entity_id string",
+    )
+    many = ga.personalized_pagerank_many(edges, seeds, iterations=6)
+    got = {}
+    for r in many.collect():
+        got.setdefault(r["query_id"], {})[r["entity_id"]] = r["ppr"]
+    for q, ss in batches.items():
+        single = {
+            r["entity_id"]: r["ppr"]
+            for r in ga.personalized_pagerank(edges, ss, iterations=6).collect()
+        }
+        assert set(got.get(q, {})) == set(single), q
+        for n, s in single.items():
+            assert got[q][n] == pytest.approx(s, abs=1e-12), (q, n)
