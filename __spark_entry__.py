@@ -1281,6 +1281,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_ppr_many"] = kg_entity_ppr_many
 
+    def kg_entity_triangles(spark, sf):
+        """Graph analytics: per-entity triangle participation + local
+        clustering coefficient (degree-ordered orientation Spark-side;
+        the result is orientation-invariant so the twin uses lexical)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.triangle_counts(_kg(spark, "edges"))
+
+    q["kg_entity_triangles"] = kg_entity_triangles
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -2533,6 +2545,37 @@ def oracle_sql() -> dict[str, str]:
                FROM rsm){_pprm_iters}
         SELECT query_id, entity_id, ROUND(pagerank, 6) AS ppr FROM m10
         WHERE pagerank > 0
+    """
+
+    # triangles via lexical orientation (a < b < c, each triangle once);
+    # the degree-ordered Spark orientation yields the same set
+    sqls["kg_entity_triangles"] = f"""
+        WITH p AS (
+          SELECT DISTINCT LEAST(subj_id, obj_id) AS a,
+                          GREATEST(subj_id, obj_id) AS b
+          FROM {_kg_pq("edges")} WHERE subj_id <> obj_id
+        ),
+        nd AS (SELECT a AS entity_id FROM p UNION ALL SELECT b FROM p),
+        deg AS (SELECT entity_id, COUNT(*) AS degree FROM nd GROUP BY entity_id),
+        tri AS (
+          SELECT p1.a AS x, p1.b AS y, p2.b AS z
+          FROM p p1
+          JOIN p p2 ON p2.a = p1.b
+          JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+        ),
+        tn AS (
+          SELECT x AS entity_id FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri
+        ),
+        tc AS (SELECT entity_id, COUNT(*) AS n_triangles FROM tn GROUP BY entity_id)
+        SELECT d.entity_id, d.degree,
+               COALESCE(tc.n_triangles, 0) AS n_triangles,
+               ROUND(CASE WHEN d.degree >= 2
+                          THEN 2.0 * COALESCE(tc.n_triangles, 0)
+                               / (d.degree * (d.degree - 1))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg d LEFT JOIN tc USING (entity_id)
     """
 
     # communities (the l5 labels above) -> member entities through the

@@ -497,3 +497,75 @@ def test_ppr_many_equals_per_query(edges, spark):
         assert set(got.get(q, {})) == set(single), q
         for n, s in single.items():
             assert got[q][n] == pytest.approx(s, abs=1e-12), (q, n)
+
+
+# ---------------------------------------------------------------------------
+# Triangle counts / clustering coefficient
+# ---------------------------------------------------------------------------
+
+def _triangles_py(pairs):
+    und = set()
+    for a, b in pairs:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            # each of a node's triangles is seen twice via its two edges
+            tri[a] += 1
+            tri[b] += 1
+    tri = {v: t // 2 for v, t in tri.items()}
+    out = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        cc = round(2.0 * tri[v] / (d * (d - 1)), 6) if d >= 2 else 0.0
+        out[v] = (d, tri[v], cc)
+    return out
+
+
+def test_triangle_counts_matches_reference(spark):
+    # two triangles sharing edge (a,b), plus a pendant and a self-loop
+    pairs = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("a", "d"), ("b", "d"),
+        ("d", "e"), ("x", "x"),
+        ("b", "a"),  # reverse duplicate collapses
+    ]
+    rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+    edges = spark.createDataFrame(
+        rows, "subj_id string, pred string, obj_id string, chunk_id string, url string"
+    )
+    got = {
+        r["entity_id"]: (r["degree"], r["n_triangles"], r["clustering"])
+        for r in ga.triangle_counts(edges).collect()
+    }
+    assert got == _triangles_py(pairs)
+    assert got["a"] == (3, 2, round(2 * 2 / (3 * 2), 6))
+    assert got["e"] == (1, 0, 0.0)
+    assert "x" not in got  # self-loop-only node has no simple edges
+
+
+def test_triangle_counts_randomized_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(71)
+    for trial in range(4):
+        n = rng.randint(3, 14)
+        m = rng.randint(2, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        got = {
+            r["entity_id"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in ga.triangle_counts(edges).collect()
+        }
+        assert got == _triangles_py(pairs), trial
