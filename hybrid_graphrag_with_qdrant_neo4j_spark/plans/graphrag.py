@@ -67,6 +67,7 @@ class GraphRAG:
             self._ann = None  # manifest without data: fall back to scan
         self._centroids = None  # K-row quantizer, read once per session
         self._bm25: retrieval.Bm25Stats | None = None  # lazy, persisted
+        self._labels: DataFrame | None = None  # LPA communities, lazy
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
@@ -89,6 +90,9 @@ class GraphRAG:
         if self._bm25 is not None:
             self._bm25.unpersist()
             self._bm25 = None
+        if self._labels is not None:
+            self._labels.unpersist()
+            self._labels = None
         self._ann = load_manifest(self._dir, ANN_INDEX_STAGE)
         if self._ann is not None and not os.path.isdir(
             os.path.join(self._dir, ANN_INDEX_STAGE, "vectors")
@@ -140,6 +144,71 @@ class GraphRAG:
             )
         emb = self.table("chunk_embeddings")
         return retrieval.vector_search(emb, query, top_k=top_k)
+
+    def community_labels(self, iterations: int = 5) -> DataFrame:
+        """Label-propagation communities over the canonical entity
+        graph (entity_id, label), computed once per facade and
+        persisted; ``refresh()`` drops them after KG mutations.  At
+        100 TB the labels write back as a KG table maintained by the
+        append path instead of living in executor memory."""
+        if self._labels is None:
+            from ..operators import graph_analytics as GA
+
+            self._labels = GA.label_propagation(
+                self.table("edges"), iterations=iterations
+            ).persist()
+            self._labels.count()
+        return self._labels
+
+    def global_chunks(
+        self, query: str, top_k: int = 10, chunks_per_community: int = 3
+    ) -> DataFrame:
+        """GraphRAG 'global search' context: the query's entity
+        candidates map to their communities (label propagation over the
+        entity graph), and each community contributes its most
+        representative chunks (most distinct member entities mentioned)
+        — corpus-level context for questions no single chunk answers,
+        the companion of the entity-local legs (graph_chunks /
+        :func:`triplets`).  Returns (label, chunk_id, text, n_entities),
+        ≤ chunks_per_community rows per matched community, ≤ top_k rows
+        total (communities ranked by their best chunk's n_entities,
+        ties by label)."""
+        from ..operators import graph_analytics as GA
+
+        cands = retrieval.query_entity_candidates(query) or [query]
+        probe = self.spark.createDataFrame(
+            [(c.lower(),) for c in cands], "name string"
+        )
+        # surface form -> canonical id -> community label
+        hit_labels = (
+            self.table("entities")
+            .join(F.broadcast(probe), "name", "left_semi")
+            .select(F.col("canonical_id").alias("entity_id"))
+            .join(self.community_labels(), "entity_id")
+            .select("label")
+            .distinct()
+        )
+        chunks = GA.community_chunks(
+            self.community_labels().join(
+                F.broadcast(hit_labels), "label", "left_semi"
+            ),
+            self.table("entities"),
+            self.table("mentions"),
+            top_k=chunks_per_community,
+        )
+        w = Window.partitionBy("label")
+        ranked = chunks.withColumn("_best", F.max("n_entities").over(w))
+        out = (
+            ranked.orderBy(
+                F.desc("_best"), F.asc("label"),
+                F.desc("n_entities"), F.asc("chunk_id"),
+            )
+            .limit(top_k)
+            .drop("_best")
+        )
+        return out.join(
+            self.table("chunks").select("chunk_id", "text"), "chunk_id", "left"
+        ).select("label", "chunk_id", "text", "n_entities")
 
     def bm25_stats(self) -> retrieval.Bm25Stats:
         """Corpus-side BM25 statistics over the chunk n-gram vocabulary

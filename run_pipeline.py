@@ -111,6 +111,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  analytics [N] - Top-N entities by PageRank + degrees")
             print("  ppr <entity> - Entities near <entity> (personalized"
                   " PageRank)")
+            print("  global <question> - Community-level context chunks"
+                  " (GraphRAG global search)")
             print("  set top_k <number> - Set number of top results")
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
@@ -170,6 +172,22 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                 print(f"\nEntities near '{seed}' (personalized PageRank):")
                 for r in rows:
                     print(f"  {r['entity_id']}: {r['ppr']:.6f}")
+            continue
+        if low.startswith("global "):
+            question = user_input.split(" ", 1)[1].strip()
+            rows = rag.global_chunks(
+                question, top_k=settings["top_k"]
+            ).collect()
+            if not rows:
+                print("No community context found.")
+            else:
+                print(f"\nCOMMUNITY CONTEXT ({len(rows)} chunks):")
+                for r in rows:
+                    print(
+                        f"  [community {r['label']}] {r['chunk_id']}"
+                        f"  ({r['n_entities']} member entities)"
+                    )
+                    print(f"    {(r['text'] or '')[:160]}")
             continue
         if low.startswith("batch "):
             # whole-file retrieval through query_many: the batch is ONE

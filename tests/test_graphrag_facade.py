@@ -516,3 +516,38 @@ def test_interactive_ppr_command(kg, spark, monkeypatch, capsys):
     assert "Entities near 'acme corporation' (personalized PageRank):" in out
     assert "acme corporation: 0." in out
     assert "No graph neighborhood found for 'zzz unknown'." in out
+
+
+def test_global_chunks_community_context(kg):
+    """GraphRAG global-search leg: query entities -> their communities
+    -> top chunks per community, ranked and text-joined."""
+    out = kg.global_chunks("Acme Corporation", top_k=5).collect()
+    assert 0 < len(out) <= 5
+    assert {"label", "chunk_id", "text", "n_entities"} <= set(out[0].asDict())
+    # the seed's own community is matched: its label must be the label
+    # of acme corporation in the cached LPA table
+    labels = {
+        r["entity_id"]: r["label"] for r in kg.community_labels().collect()
+    }
+    assert all(r["label"] == labels["acme corporation"] for r in out)
+    # ranked by member-entity coverage within the community
+    ns = [r["n_entities"] for r in out]
+    assert ns == sorted(ns, reverse=True)
+    assert all(r["text"] for r in out)
+    # unknown-entity query: falls back to the raw query, no crash
+    assert kg.global_chunks("zzz unheard of").count() == 0
+
+
+def test_interactive_global_command(kg, spark, monkeypatch, capsys):
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter(["global Acme Corporation", "global zzz nothing", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", kg._dir]
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "COMMUNITY CONTEXT" in out and "member entities" in out
+    assert "No community context found." in out
