@@ -1293,6 +1293,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_entity_triangles"] = kg_entity_triangles
 
+    def kg_entity_cooccurrence(spark, sf):
+        """Association mining over mention co-location: canonical
+        entity pairs sharing a chunk, with PMI — recovers related-
+        entity signals the asserted triples missed (the reference's
+        Neo4j graph only stores extracted edges)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.entity_cooccurrence(
+            _kg(spark, "mentions"), _kg(spark, "entity_map")
+        )
+
+    q["kg_entity_cooccurrence"] = kg_entity_cooccurrence
+
+    def kg_community_triples(spark, sf):
+        """Community reports, structured half: per LPA community the
+        top-3 intra-community triples by distinct-chunk support (the
+        claims a GraphRAG community summarizer reads)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        labels = graph_analytics.label_propagation(
+            _kg(spark, "edges"), iterations=5
+        )
+        return graph_analytics.community_triples(
+            labels, _kg(spark, "edges"), top_k=3
+        )
+
+    q["kg_community_triples"] = kg_community_triples
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -2605,6 +2637,58 @@ def oracle_sql() -> dict[str, str]:
                  ROW_NUMBER() OVER (PARTITION BY label
                    ORDER BY n_entities DESC, chunk_id ASC) AS rn
           FROM per_chunk
+        ) WHERE rn <= 3
+    """
+
+    sqls["kg_entity_cooccurrence"] = f"""
+        WITH cm AS (
+          SELECT DISTINCT m.chunk_id, em.canonical_id AS entity_id
+          FROM {_kg_pq("mentions")} m
+          JOIN {_kg_pq("entity_map")} em ON m.entity_name = em.name
+        ),
+        tot AS (SELECT COUNT(DISTINCT chunk_id) AS n FROM cm),
+        pe AS (SELECT entity_id, COUNT(*) AS n_e FROM cm GROUP BY entity_id),
+        pr AS (
+          SELECT l.entity_id AS entity_a, r.entity_id AS entity_b,
+                 COUNT(*) AS n_ab
+          FROM cm l JOIN cm r
+            ON l.chunk_id = r.chunk_id AND l.entity_id < r.entity_id
+          GROUP BY 1, 2
+        )
+        SELECT pr.entity_a, pr.entity_b, pr.n_ab,
+               na.n_e AS n_a, nb.n_e AS n_b,
+               ROUND(LN(pr.n_ab * tot.n / (na.n_e * nb.n_e)), 6) AS pmi
+        FROM pr
+        JOIN pe na ON na.entity_id = pr.entity_a
+        JOIN pe nb ON nb.entity_id = pr.entity_b
+        CROSS JOIN tot
+    """
+
+    sqls["kg_community_triples"] = f"""
+        WITH g0 AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst FROM {_kg_pq("edges")}
+        ),
+        und AS (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+        lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
+        l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters},
+        intra AS (
+          SELECT ls.label, e.subj_id, e.pred, e.obj_id, e.chunk_id
+          FROM {_kg_pq("edges")} e
+          JOIN l5 ls ON e.subj_id = ls.entity_id
+          JOIN l5 lo ON e.obj_id = lo.entity_id
+          WHERE ls.label = lo.label
+        ),
+        sup AS (
+          SELECT label, subj_id, pred, obj_id,
+                 COUNT(DISTINCT chunk_id) AS support
+          FROM intra GROUP BY 1, 2, 3, 4
+        )
+        SELECT label, subj_id, pred, obj_id, support FROM (
+          SELECT label, subj_id, pred, obj_id, support,
+                 ROW_NUMBER() OVER (PARTITION BY label
+                   ORDER BY support DESC, subj_id ASC, pred ASC, obj_id ASC
+                 ) AS rn
+          FROM sup
         ) WHERE rn <= 3
     """
 

@@ -594,3 +594,154 @@ def triangle_counts(
     deg.unpersist()
     oe.unpersist()
     return out
+
+
+def entity_cooccurrence(
+    mentions: DataFrame,
+    entity_map: DataFrame,
+    min_count: int = 1,
+    max_entities_per_chunk: int | None = None,
+) -> DataFrame:
+    """Entity co-occurrence statistics with PMI over chunk contexts —
+    the association-mining analytic a KG builder runs to find related
+    entities the extracted triples MISSED (two names that keep
+    appearing in the same chunks but never in one sentence).  The
+    reference's Neo4j graph only knows asserted edges; this recovers
+    the latent ones from mention co-location.
+
+    Inputs: ``mentions(chunk_id, entity_name)``; ``entity_map(name,
+    canonical_id)`` (surface form → canonical id, so aliases of one
+    entity count as the same node).  Returns (entity_a, entity_b,
+    n_ab, n_a, n_b, pmi) for unordered pairs with entity_a < entity_b
+    and n_ab ≥ min_count; pmi = ln(n_ab·N / (n_a·n_b)) at 6dp where N
+    = number of chunks with ≥1 linked entity and n_x = chunks
+    containing x.
+
+    Scale shape: the pair fan-out is the quadratic hazard — a
+    boilerplate chunk mentioning 500 entities yields 125k pairs.
+    ``max_entities_per_chunk`` DROPS such chunks whole (deterministic,
+    and statistically right: listing pages poison PMI).  With the cap
+    on, the self-join on chunk_id is bounded by cap² per chunk; the
+    (a, b) count is map-side combined, and chunk_id is
+    high-cardinality so the join itself has no skewed key.  N and n_x
+    are one partial-agg pass each.  No UDFs, no driver state."""
+    cm = (
+        mentions.join(
+            entity_map.select(
+                F.col("name").alias("entity_name"),
+                F.col("canonical_id").alias("entity_id"),
+            ),
+            "entity_name",
+        )
+        .select("chunk_id", "entity_id")
+        .distinct()
+    )
+    if max_entities_per_chunk is not None:
+        sizes = cm.groupBy("chunk_id").agg(F.count("*").alias("_sz"))
+        cm = cm.join(
+            sizes.filter(F.col("_sz") <= max_entities_per_chunk).select(
+                "chunk_id"
+            ),
+            "chunk_id",
+            "left_semi",
+        )
+    cm = cm.persist()
+    n_total = cm.select("chunk_id").distinct().count()
+
+    per_entity = cm.groupBy("entity_id").agg(F.count("*").alias("_n"))
+    left = cm.select("chunk_id", F.col("entity_id").alias("entity_a"))
+    right = cm.select("chunk_id", F.col("entity_id").alias("entity_b"))
+    pairs = (
+        left.join(right, "chunk_id")
+        .filter(F.col("entity_a") < F.col("entity_b"))
+        .groupBy("entity_a", "entity_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    na = per_entity.select(
+        F.col("entity_id").alias("entity_a"), F.col("_n").alias("n_a")
+    )
+    nb = per_entity.select(
+        F.col("entity_id").alias("entity_b"), F.col("_n").alias("n_b")
+    )
+    out = (
+        pairs.join(na, "entity_a")
+        .join(nb, "entity_b")
+        .select(
+            "entity_a",
+            "entity_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.log(
+                    F.col("n_ab")
+                    * F.lit(float(n_total))
+                    / (F.col("n_a") * F.col("n_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    cm.unpersist()
+    return out
+
+
+def community_triples(
+    labels: DataFrame,
+    edges: DataFrame,
+    top_k: int = 5,
+) -> DataFrame:
+    """Top supported triples per community — the deterministic core of
+    a GraphRAG 'community report': for each label-propagation
+    community, the intra-community (subj, pred, obj) facts ranked by
+    how many distinct chunks assert them.  A summarizer (LLM in the
+    reference's world) reads these instead of the whole community's
+    text; :func:`community_chunks` gives it the prose, this gives it
+    the structured claims.
+
+    Inputs: ``labels(entity_id, label)``; ``edges(subj_id, pred,
+    obj_id, chunk_id, ...)`` (the canonical edge table, one row per
+    asserting chunk).  Returns (label, subj_id, pred, obj_id, support)
+    with ≤ top_k triples per label — only edges whose BOTH endpoints
+    share the label count (cross-community edges belong to no single
+    community's report); ties break on (subj_id, pred, obj_id) asc.
+
+    Plan shape: two hash joins against the (small) label table — under
+    AQE these broadcast; the support count is a map-side-combined
+    distinct over (label, triple, chunk); the rank is one per-label
+    window.  At 100 TB the window's partition is a community's triple
+    set — bounded by the community, not the corpus."""
+    ls = labels.select(
+        F.col("entity_id").alias("subj_id"), F.col("label").alias("_ls")
+    )
+    lo = labels.select(
+        F.col("entity_id").alias("obj_id"), F.col("label").alias("_lo")
+    )
+    intra = (
+        edges.join(ls, "subj_id")
+        .join(lo, "obj_id")
+        .filter(F.col("_ls") == F.col("_lo"))
+        .select(
+            F.col("_ls").alias("label"),
+            "subj_id",
+            "pred",
+            "obj_id",
+            "chunk_id",
+        )
+    )
+    support = intra.groupBy("label", "subj_id", "pred", "obj_id").agg(
+        F.count_distinct("chunk_id").alias("support")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.desc("support"),
+        F.asc("subj_id"),
+        F.asc("pred"),
+        F.asc("obj_id"),
+    )
+    return (
+        support.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .drop("_rn")
+    )

@@ -369,16 +369,57 @@ def _analytics_main(args) -> None:
             chunks_by_label.setdefault(r["label"], []).append(
                 {"chunk_id": r["chunk_id"], "n_entities": r["n_entities"]}
             )
+        # structured half of the community report: the top supported
+        # intra-community triples a summarizer would read
+        triples_by_label: dict = {}
+        for r in graph_analytics.community_triples(
+            labels, edges, top_k=args.chunks_per_community
+        ).collect():
+            triples_by_label.setdefault(r["label"], []).append(
+                {
+                    "subj": r["subj_id"],
+                    "pred": r["pred"],
+                    "obj": r["obj_id"],
+                    "support": r["support"],
+                }
+            )
         out["n_communities"] = labels.select("label").distinct().count()
         out["communities"] = [
             {
                 "label": r["label"],
                 "n_members": r["n_members"],
                 "top_chunks": chunks_by_label.get(r["label"], []),
+                "top_triples": triples_by_label.get(r["label"], []),
             }
             for r in sizes
         ]
         labels.unpersist()
+    if args.cooccurrence:
+        rag = GraphRAG(spark, args.kg_dir)
+        em = rag.table("entities").select(
+            F.col("name"), F.col("canonical_id")
+        )
+        pairs = (
+            graph_analytics.entity_cooccurrence(
+                rag.table("mentions").select(
+                    "chunk_id", F.col("entity_name")
+                ),
+                em,
+                min_count=args.min_cooccur,
+            )
+            .orderBy(F.desc("pmi"), F.asc("entity_a"), F.asc("entity_b"))
+            .limit(args.cooccurrence)
+            .collect()
+        )
+        out["cooccurrence_top"] = [
+            {
+                "entity_a": r["entity_a"],
+                "entity_b": r["entity_b"],
+                "n_ab": r["n_ab"],
+                "pmi": r["pmi"],
+            }
+            for r in pairs
+        ]
     print(json.dumps(out, indent=2))
     spark.stop()
 
@@ -608,6 +649,11 @@ def main() -> None:
                     "top chunks (global-search context)")
     an.add_argument("--lpa-iterations", type=int, default=5)
     an.add_argument("--chunks-per-community", type=int, default=3)
+    an.add_argument("--cooccurrence", type=int, default=0, metavar="N",
+                    help="add the top-N entity pairs by PMI over chunk "
+                    "co-mentions (latent relations the triples missed)")
+    an.add_argument("--min-cooccur", type=int, default=2,
+                    help="minimum co-mention count for --cooccurrence")
 
     cp = sub.add_parser(
         "compact",

@@ -569,3 +569,213 @@ def test_triangle_counts_randomized_vs_python_oracle(spark):
             for r in ga.triangle_counts(edges).collect()
         }
         assert got == _triangles_py(pairs), trial
+
+
+# ---------------------------------------------------------------------------
+# entity_cooccurrence
+# ---------------------------------------------------------------------------
+
+def _cooc_py(mention_rows, name_map, min_count=1, cap=None):
+    """Pure-python PMI oracle over (chunk_id, entity_name) rows."""
+    import math
+
+    by_chunk = {}
+    for ch, name in mention_rows:
+        if name in name_map:
+            by_chunk.setdefault(ch, set()).add(name_map[name])
+    if cap is not None:
+        by_chunk = {c: s for c, s in by_chunk.items() if len(s) <= cap}
+    n_total = len(by_chunk)
+    n = {}
+    for s in by_chunk.values():
+        for e in s:
+            n[e] = n.get(e, 0) + 1
+    pairs = {}
+    for s in by_chunk.values():
+        es = sorted(s)
+        for i in range(len(es)):
+            for j in range(i + 1, len(es)):
+                pairs[(es[i], es[j])] = pairs.get((es[i], es[j]), 0) + 1
+    out = {}
+    for (a, b), nab in pairs.items():
+        if nab >= min_count:
+            pmi = round(math.log(nab * n_total / (n[a] * n[b])), 6)
+            out[(a, b)] = (nab, n[a], n[b], pmi)
+    return out
+
+
+_COOC_MENTIONS = [
+    # alias 'acme inc' maps onto 'acme' — co-occurrence must count it
+    ("c1", "acme"), ("c1", "globex"),
+    ("c2", "acme inc"), ("c2", "globex"), ("c2", "initech"),
+    ("c3", "acme"), ("c3", "initech"),
+    ("c4", "globex"),
+    ("c5", "unlinked name"),            # not in the entity map: dropped
+    ("c6", "acme"), ("c6", "acme inc"),  # same canonical twice: 1 entity
+]
+_COOC_MAP = {
+    "acme": "acme", "acme inc": "acme",
+    "globex": "globex", "initech": "initech",
+}
+
+
+def _cooc_dfs(spark):
+    m = spark.createDataFrame(
+        _COOC_MENTIONS, "chunk_id string, entity_name string"
+    )
+    em = spark.createDataFrame(
+        list(_COOC_MAP.items()), "name string, canonical_id string"
+    )
+    return m, em
+
+
+def test_entity_cooccurrence_matches_reference(spark):
+    m, em = _cooc_dfs(spark)
+    got = {
+        (r["entity_a"], r["entity_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["pmi"]
+        )
+        for r in ga.entity_cooccurrence(m, em).collect()
+    }
+    want = _cooc_py(_COOC_MENTIONS, _COOC_MAP)
+    assert got == want
+    # spot-check the alias fold: (acme, globex) co-occur in c1 AND c2
+    assert got[("acme", "globex")][0] == 2
+
+
+def test_entity_cooccurrence_min_count_and_cap(spark):
+    m, em = _cooc_dfs(spark)
+    got = {
+        (r["entity_a"], r["entity_b"])
+        for r in ga.entity_cooccurrence(m, em, min_count=2).collect()
+    }
+    want2 = {
+        p for p, (nab, *_rest) in _cooc_py(_COOC_MENTIONS, _COOC_MAP).items()
+        if nab >= 2
+    }
+    assert got == want2 == {("acme", "globex"), ("acme", "initech")}
+    # cap=2 drops c2 (3 distinct canonical entities) entirely
+    got_cap = {
+        (r["entity_a"], r["entity_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["pmi"]
+        )
+        for r in ga.entity_cooccurrence(
+            m, em, max_entities_per_chunk=2
+        ).collect()
+    }
+    assert got_cap == _cooc_py(_COOC_MENTIONS, _COOC_MAP, cap=2)
+    assert got_cap[("acme", "globex")][0] == 1
+
+
+def test_entity_cooccurrence_randomized_vs_python_oracle(spark):
+    import random
+
+    rnd = random.Random(77)
+    ents = [f"e{i}" for i in range(12)]
+    name_map = {e: e for e in ents}
+    # aliases fold pairs of names onto one canonical id
+    for i in range(0, 6, 2):
+        name_map[f"alias{i}"] = ents[i]
+    names = list(name_map)
+    rows = [
+        (f"c{rnd.randrange(20)}", rnd.choice(names)) for _ in range(150)
+    ]
+    m = spark.createDataFrame(rows, "chunk_id string, entity_name string")
+    em = spark.createDataFrame(
+        list(name_map.items()), "name string, canonical_id string"
+    )
+    got = {
+        (r["entity_a"], r["entity_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"], r["pmi"]
+        )
+        for r in ga.entity_cooccurrence(m, em).collect()
+    }
+    assert got == _cooc_py(rows, name_map)
+
+
+# ---------------------------------------------------------------------------
+# community_triples
+# ---------------------------------------------------------------------------
+
+def test_community_triples_two_cliques(spark):
+    # two 3-cliques bridged by one cross edge; the bridge triple must
+    # appear in NO community's report
+    tri = [
+        ("a1", "knows", "a2", "c1"), ("a2", "knows", "a3", "c2"),
+        ("a3", "knows", "a1", "c3"),
+        # repeated assertion in two chunks -> support 2, ranks first
+        ("a1", "leads", "a2", "c4"), ("a1", "leads", "a2", "c5"),
+        ("b1", "knows", "b2", "c6"), ("b2", "knows", "b3", "c7"),
+        ("b3", "knows", "b1", "c8"),
+        ("a1", "bridges", "b1", "c9"),
+    ]
+    edges = spark.createDataFrame(
+        [(s, p, o, c, "u") for s, p, o, c in tri],
+        "subj_id string, pred string, obj_id string, chunk_id string, url string",
+    )
+    # hand-crafted labels: the operator contracts on ANY labels table
+    # (LPA integration is covered by the scoreboard oracle query)
+    lab = {"a1": "A", "a2": "A", "a3": "A", "b1": "B", "b2": "B", "b3": "B"}
+    labels = spark.createDataFrame(
+        list(lab.items()), "entity_id string, label string"
+    )
+    out = ga.community_triples(labels, edges, top_k=2).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(
+            (r["subj_id"], r["pred"], r["obj_id"], r["support"])
+        )
+    # no community contains the bridge edge
+    assert all(
+        (s, p, o) != ("a1", "bridges", "b1")
+        for rows in by_label.values()
+        for (s, p, o, _) in rows
+    )
+    # a-community: top triple is the support-2 'leads' fact
+    a_rows = by_label[lab["a1"]]
+    assert a_rows[0] == ("a1", "leads", "a2", 2) or (
+        ("a1", "leads", "a2", 2) in a_rows and a_rows[0][3] == 2
+    )
+    assert all(len(rows) <= 2 for rows in by_label.values())
+    # deterministic tie-break: support desc then triple asc
+    for rows in by_label.values():
+        keyed = [(-sup, s, p, o) for (s, p, o, sup) in rows]
+        assert keyed == sorted(keyed)
+
+
+def test_cli_analytics_triples_and_cooccurrence(
+    spark, tmp_path_factory, monkeypatch, capsys
+):
+    """analytics --communities now carries top_triples (the structured
+    community report) and --cooccurrence adds top PMI pairs."""
+    import json
+
+    import run_pipeline
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path_factory.mktemp("kg_an3"))
+    pages = corpus.pages_spark_df(spark, 40, partitions=4)
+    build_kg(spark, pages, out, input_fingerprint="an3:40")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "analytics", "--kg-dir", out, "--top", "3",
+         "--communities", "--cooccurrence", "5"],
+    )
+    run_pipeline.main()
+    got = json.loads(capsys.readouterr().out)
+    comm = got["communities"][0]
+    assert comm["top_triples"], "community report carries triples"
+    t0 = comm["top_triples"][0]
+    assert {"subj", "pred", "obj", "support"} <= set(t0)
+    sups = [t["support"] for t in comm["top_triples"]]
+    assert sups == sorted(sups, reverse=True)
+    assert got["cooccurrence_top"], "PMI pairs present"
+    assert all(r["n_ab"] >= 2 for r in got["cooccurrence_top"])
+    pmis = [r["pmi"] for r in got["cooccurrence_top"]]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(
+        r["entity_a"] < r["entity_b"] for r in got["cooccurrence_top"]
+    )
