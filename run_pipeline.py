@@ -662,6 +662,16 @@ def main() -> None:
     cp.add_argument("--kg-dir", required=True)
     cp.add_argument("--partitions", type=int, default=None)
 
+    ex = sub.add_parser(
+        "export",
+        help="bulk-export the KG as a neo4j-admin database import file "
+        "set (the scale path back into the reference's store: "
+        "distributed CSV parts + header files, no Bolt round trips)",
+    )
+    ex.add_argument("--kg-dir", required=True)
+    ex.add_argument("--out-dir", required=True)
+    ex.add_argument("--format", choices=["neo4j-bulk"], default="neo4j-bulk")
+
     rx = sub.add_parser(
         "reindex",
         help="re-train the ANN quantizer over the current chunk embeddings "
@@ -743,6 +753,18 @@ def main() -> None:
         print(json.dumps(
             compact_tables(spark, args.kg_dir, target_partitions=args.partitions),
             indent=2,
+        ))
+        spark.stop()
+        return
+    if args.cmd == "export":
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        from hybrid_graphrag_with_qdrant_neo4j_spark.plans.export import (
+            export_neo4j_bulk,
+        )
+
+        spark = get_spark(app_name="kg_export")
+        print(json.dumps(
+            export_neo4j_bulk(spark, args.kg_dir, args.out_dir), indent=2
         ))
         spark.stop()
         return
