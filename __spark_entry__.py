@@ -1325,6 +1325,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["kg_community_triples"] = kg_community_triples
 
+    def kg_shortest_path(spark, sf):
+        """Cypher-parity shortestPath((a)-[*..4]-(b)): min-hop BFS with
+        path tracking, lexicographically smallest min-hop path (the
+        determinism contract both engines share).  Path rendered as a
+        string for the hash compare."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        out = graph_analytics.shortest_path(
+            _kg(spark, "edges"),
+            "acme corporation",
+            "stark industries",
+            max_hops=4,
+        )
+        return out.select(
+            "hops", F.array_join("path", " -> ").alias("path")
+        )
+
+    q["kg_shortest_path"] = kg_shortest_path
+
+    def kg_graph_summary(spark, sf):
+        """One-row graph health profile: counts, density, degree
+        distribution shape (exact percentiles at test scale; the
+        operator docstring discloses the approx swap at 100 TB)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+        )
+
+        return graph_analytics.graph_summary(_kg(spark, "edges"))
+
+    q["kg_graph_summary"] = kg_graph_summary
+
     def kg_term_counts(spark, sf):
         """A11: per-chunk n-gram counts (reference cli/main.py:90-97
         returns these lens on every process call)."""
@@ -2690,6 +2723,68 @@ def oracle_sql() -> dict[str, str]:
                  ) AS rn
           FROM sup
         ) WHERE rn <= 3
+    """
+
+    # unrolled path-carrying BFS (4 levels): per-level frontier keeps
+    # the lexicographically smallest path per newly-reached node (MIN
+    # over DuckDB lists is elementwise, same as Spark's F.min on
+    # array<string>); dst appears in at most one frontier, so the
+    # union + ORDER BY hops LIMIT 1 mirrors the engine's early exit
+    _sp_src, _sp_dst = "acme corporation", "stark industries"
+    _sp_levels = "".join(
+        f""",
+        f{k} AS (
+          SELECT a.dst AS node, MIN(list_append(f.path, a.dst)) AS path
+          FROM f{k - 1} f JOIN adj a ON a.src = f.node
+          WHERE a.dst NOT IN (SELECT node FROM v{k - 1})
+          GROUP BY a.dst
+        ),
+        v{k} AS (SELECT node FROM v{k - 1} UNION SELECT node FROM f{k})"""
+        for k in range(1, 5)
+    )
+    sqls["kg_shortest_path"] = f"""
+        WITH g0 AS (
+          SELECT DISTINCT subj_id AS s, obj_id AS d FROM {_kg_pq("edges")}
+        ),
+        adj AS (SELECT s AS src, d AS dst FROM g0
+                UNION SELECT d, s FROM g0),
+        f0 AS (SELECT '{_sp_src}' AS node,
+                      ['{_sp_src}'] AS path),
+        v0 AS (SELECT node FROM f0){_sp_levels},
+        hits AS (
+          SELECT 0 AS hops, path FROM f0 WHERE node = '{_sp_dst}'
+          UNION ALL SELECT 1, path FROM f1 WHERE node = '{_sp_dst}'
+          UNION ALL SELECT 2, path FROM f2 WHERE node = '{_sp_dst}'
+          UNION ALL SELECT 3, path FROM f3 WHERE node = '{_sp_dst}'
+          UNION ALL SELECT 4, path FROM f4 WHERE node = '{_sp_dst}'
+        )
+        SELECT hops, array_to_string(path, ' -> ') AS path
+        FROM hits ORDER BY hops LIMIT 1
+    """
+
+    sqls["kg_graph_summary"] = f"""
+        WITH g AS (
+          SELECT DISTINCT subj_id AS src, obj_id AS dst
+          FROM {_kg_pq("edges")}
+        ),
+        deg AS (
+          SELECT entity_id, COUNT(*) AS degree FROM (
+            SELECT src AS entity_id FROM g
+            UNION ALL SELECT dst FROM g
+          ) GROUP BY entity_id
+        ),
+        ne AS (SELECT COUNT(*) AS n_edges FROM g)
+        SELECT COUNT(*) AS n_nodes,
+               ne.n_edges AS n_edges,
+               ROUND(ne.n_edges / (COUNT(*) * (COUNT(*) - 1)), 9)
+                 AS density,
+               MAX(degree) AS max_degree,
+               ROUND(AVG(degree), 6) AS avg_degree,
+               quantile_cont(degree, 0.5) AS p50_degree,
+               quantile_cont(degree, 0.9) AS p90_degree,
+               quantile_cont(degree, 0.99) AS p99_degree
+        FROM deg CROSS JOIN ne
+        GROUP BY ne.n_edges
     """
 
     # MinHash LSH banding + agreement-estimate over the materialized

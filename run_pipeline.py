@@ -113,6 +113,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                   " PageRank)")
             print("  global <question> - Community-level context chunks"
                   " (GraphRAG global search)")
+            print("  path <entity a> -> <entity b> - Shortest connection"
+                  " in the entity graph")
             print("  set top_k <number> - Set number of top results")
             print("  set triplets <on/off> - Include knowledge graph triplets")
             print("  set context <on/off> - Include document context")
@@ -172,6 +174,25 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                 print(f"\nEntities near '{seed}' (personalized PageRank):")
                 for r in rows:
                     print(f"  {r['entity_id']}: {r['ppr']:.6f}")
+            continue
+        if low.startswith("path ") and "->" in user_input:
+            from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+                graph_analytics,
+            )
+
+            spec = user_input.split(" ", 1)[1]
+            a, _, b = spec.partition("->")
+            a, b = a.strip().lower(), b.strip().lower()
+            rows = graph_analytics.shortest_path(
+                rag.table("edges"), a, b, max_hops=6
+            ).collect()
+            if not rows:
+                print(f"No path from '{a}' to '{b}' within 6 hops.")
+            else:
+                print(
+                    f"\nPATH ({rows[0]['hops']} hops): "
+                    + " -> ".join(rows[0]["path"])
+                )
             continue
         if low.startswith("global "):
             question = user_input.split(" ", 1)[1].strip()
@@ -319,6 +340,7 @@ def _analytics_main(args) -> None:
     )
     out = {
         "n_entities": deg.count(),
+        "graph": graph_analytics.graph_summary(edges).collect()[0].asDict(),
         "iterations": args.iterations,
         "damping": args.damping,
         "top": [

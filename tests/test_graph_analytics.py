@@ -779,3 +779,105 @@ def test_cli_analytics_triples_and_cooccurrence(
     assert all(
         r["entity_a"] < r["entity_b"] for r in got["cooccurrence_top"]
     )
+
+
+# ---------------------------------------------------------------------------
+# shortest_path / graph_summary
+# ---------------------------------------------------------------------------
+
+def _shortest_py(pairs, a, b, max_hops, undirected=True):
+    adj = {}
+    for s, o in set(pairs):
+        adj.setdefault(s, set()).add(o)
+        if undirected:
+            adj.setdefault(o, set()).add(s)
+    paths = {a: [a]}
+    frontier = {a: [a]}
+    hops = 0
+    while b not in paths and hops < max_hops:
+        nxt = {}
+        for v, p in frontier.items():
+            for n in adj.get(v, ()):
+                if n not in paths:
+                    cand = p + [n]
+                    if n not in nxt or cand < nxt[n]:
+                        nxt[n] = cand
+        if not nxt:
+            break
+        hops += 1
+        paths.update(nxt)
+        frontier = nxt
+    return (hops, paths[b]) if b in paths else None
+
+
+def test_shortest_path_matches_reference(edges):
+    for a, b in [("a", "d"), ("d", "a"), ("a", "f"), ("e", "f"), ("a", "a")]:
+        rows = ga.shortest_path(edges, a, b, max_hops=4).collect()
+        want = _shortest_py(_PAIRS, a, b, 4)
+        if want is None:
+            assert rows == [], (a, b)
+        else:
+            assert len(rows) == 1, (a, b)
+            assert (rows[0]["hops"], rows[0]["path"]) == want, (a, b)
+
+
+def test_shortest_path_directed_and_tie(spark):
+    # two 2-hop routes a->x->z and a->y->z: lexicographically smaller
+    # middle node wins on both engines
+    pairs = [("a", "x"), ("a", "y"), ("x", "z"), ("y", "z"), ("z", "a")]
+    rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+    edges = spark.createDataFrame(
+        rows,
+        "subj_id string, pred string, obj_id string, chunk_id string, url string",
+    )
+    got = ga.shortest_path(edges, "a", "z", undirected=False).collect()
+    assert (got[0]["hops"], got[0]["path"]) == (2, ["a", "x", "z"])
+    # directed: z reaches x only through a
+    got = ga.shortest_path(edges, "z", "x", undirected=False).collect()
+    assert (got[0]["hops"], got[0]["path"]) == (2, ["z", "a", "x"])
+
+
+def test_shortest_path_randomized_vs_python_oracle(spark):
+    import random
+
+    rng = random.Random(41)
+    for trial in range(3):
+        n = rng.randint(4, 12)
+        m = rng.randint(3, 3 * n)
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+            for _ in range(m)
+        ]
+        rows = [(s, "R", o, f"c{i}", "u") for i, (s, o) in enumerate(pairs)]
+        edges = spark.createDataFrame(
+            rows,
+            "subj_id string, pred string, obj_id string, chunk_id string, url string",
+        )
+        a, b = f"n{rng.randrange(n)}", f"n{rng.randrange(n)}"
+        got = ga.shortest_path(edges, a, b, max_hops=5).collect()
+        want = _shortest_py(pairs, a, b, 5)
+        if want is None:
+            assert got == [], (trial, a, b)
+        else:
+            assert (got[0]["hops"], got[0]["path"]) == want, (trial, a, b)
+
+
+def test_graph_summary_matches_reference(edges):
+    row = ga.graph_summary(edges).collect()[0]
+    g = sorted(set((s, o) for s, o in _PAIRS))
+    deg = {}
+    for s, o in g:
+        deg[s] = deg.get(s, 0) + 1
+        deg[o] = deg.get(o, 0) + 1
+    import statistics
+
+    n = len(deg)
+    ds = sorted(deg.values())
+    assert row["n_nodes"] == n
+    assert row["n_edges"] == len(g)
+    assert row["density"] == round(len(g) / (n * (n - 1)), 9)
+    assert row["max_degree"] == max(ds)
+    assert row["avg_degree"] == round(sum(ds) / n, 6)
+    assert row["p50_degree"] == statistics.quantiles(
+        ds, n=100, method="inclusive"
+    )[49]

@@ -551,3 +551,22 @@ def test_interactive_global_command(kg, spark, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "COMMUNITY CONTEXT" in out and "member entities" in out
     assert "No community context found." in out
+
+
+def test_interactive_path_command(kg, spark, monkeypatch, capsys):
+    import run_pipeline
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter([
+        "path Acme Corporation -> Initech Labs",
+        "path acme corporation -> zzz nowhere",
+        "exit",
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", kg._dir]
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "PATH (" in out and "acme corporation" in out
+    assert "No path from 'acme corporation' to 'zzz nowhere'" in out
