@@ -298,6 +298,17 @@ class GraphRAG:
         (cli/main.py:227-309).  ``lexical="bm25"`` upgrades the graph
         leg's term scorer (see :meth:`graph_chunks`).
         """
+        if mode == "global":
+            # community-level leg (GraphRAG 'global search'): score =
+            # member-entity coverage; label kept for display
+            out = self.global_chunks(q, top_k=top_k).select(
+                "chunk_id",
+                "text",
+                F.col("n_entities").cast("double").alias("score"),
+                "label",
+            )
+            return {"chunks": out, "triplets": None}
+
         v = self.vector_chunks(q, top_k)
         g = self.graph_chunks(q, top_k, lexical=lexical)
         fused = retrieval.hybrid_fuse(v, g, vector_weight=vector_weight, top_k=top_k)

@@ -726,9 +726,10 @@ def main() -> None:
     qp.add_argument("--kg-dir", required=True, help="directory written by process")
     qp.add_argument(
         "--mode",
-        choices=["hybrid", "context", "triplets"],
+        choices=["hybrid", "context", "triplets", "global"],
         default="hybrid",
-        help="hybrid (default) | context (--with-context) | triplets (--triplets)",
+        help="hybrid (default) | context (--with-context) | triplets "
+        "(--triplets) | global (community-level context)",
     )
     # reference defaults: config.py:131-134
     qp.add_argument("--top-k", type=int, default=10)

@@ -570,3 +570,14 @@ def test_interactive_path_command(kg, spark, monkeypatch, capsys):
     out = capsys.readouterr().out
     assert "PATH (" in out and "acme corporation" in out
     assert "No path from 'acme corporation' to 'zzz nowhere'" in out
+
+
+def test_query_mode_global(kg):
+    out = kg.query("Acme Corporation", mode="global", top_k=4)
+    rows = out["chunks"].collect()
+    assert out["triplets"] is None
+    assert 0 < len(rows) <= 4
+    assert {"chunk_id", "text", "score", "label"} <= set(rows[0].asDict())
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(isinstance(r["score"], float) for r in rows)
