@@ -940,3 +940,113 @@ def compact_tables(
             continue
         out[stage] = _swap_dirs(spark, data, part_cols, n)
     return out
+
+
+def prune_kg(
+    spark: SparkSession,
+    kg_dir: str,
+    where: str | None = None,
+    min_quality: float | None = None,
+    keep_lang: str | None = None,
+    batch_id: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Corpus curation over a BUILT KG: delete every document matching
+    the drop selector from all doc-scoped tables (+ its ANN vectors) and
+    repair the entity graph EXACTLY — the operational verb for "this
+    crawl slice turned out to be spam / off-language / boilerplate"
+    discovered only after ingest.  The reference has no curation story
+    at all (its store grows monotonically, cli/main.py:115-156); at
+    100 TB this is routine fleet hygiene, and re-building the KG minus
+    the victims would repeat the extraction/embedding passes that
+    dominate build cost.
+
+    Drop selector (OR of whichever are given; at least one required):
+
+      * ``where``        — a SQL predicate over ``doc_id, url, lang,
+        text`` plus the computed curation columns ``pred_lang, quality,
+        n_tokens`` (functions.text_quality — the same columns the
+        ``curated_corpus`` query exposes pre-ingest);
+      * ``min_quality``  — drop docs with ``quality < min_quality``;
+      * ``keep_lang``    — drop docs with ``pred_lang != keep_lang``.
+
+    Victim selection is ONE pruned scan of the ``text`` snapshot (the
+    curation columns are whole-stage-codegen expressions, no UDF); the
+    deletions reuse the replace path's machinery — :func:`_purge_doc_rows`
+    (one partition-preserving anti-join rewrite per table),
+    :func:`_purge_ann_vectors`, then :func:`gc_entities`, whose
+    append-complete pair-ledger argument makes the surviving entity
+    graph set-equal to a rebuild over the kept corpus (orphans vanish,
+    bridged components split; tested against build_kg).
+
+    Idempotent per batch id: ``batch_id`` defaults to a hash of the
+    selector, so re-running the same prune is a ledger no-op (its
+    victims are already gone); pass a fresh id to re-apply the same
+    predicate after later appends.  ``dry_run=True`` returns
+    ``{"n_docs_dropped", "by_lang"}`` without touching any table.
+    Callers holding a live facade should ``GraphRAG.refresh()`` after.
+
+    Returns ``{"n_docs_pruned", "n_chunks_purged", "entity_gc",
+    "ann_index_purged"}`` (plus the selector echo) — also written to
+    the batch ledger.
+    """
+    from ..functions import text_quality as TQ
+
+    if where is None and min_quality is None and keep_lang is None:
+        raise ValueError("prune_kg needs at least one of where / min_quality / keep_lang")
+    text_path = _data_path(kg_dir, "text")
+    if not os.path.isdir(text_path):
+        raise FileNotFoundError(f"no text snapshot under {kg_dir!r} — build the KG first")
+
+    selector = {"where": where, "min_quality": min_quality, "keep_lang": keep_lang}
+    if batch_id is None:
+        import hashlib
+
+        batch_id = "prune:" + hashlib.sha1(
+            json.dumps(selector, sort_keys=True).encode()
+        ).hexdigest()[:12]
+    if _batch_applied(kg_dir, batch_id):
+        return {"skipped": True, "batch_id": batch_id}
+
+    c = F.col("text")
+    docs = spark.read.parquet(text_path).withColumns(
+        {
+            "pred_lang": TQ.predict_lang(c),
+            "quality": TQ.quality_score(c),
+            "n_tokens": TQ.token_count(c),
+        }
+    )
+    drop = F.lit(False)
+    if where is not None:
+        drop = drop | F.expr(where)
+    if min_quality is not None:
+        drop = drop | (F.col("quality") < F.lit(float(min_quality)))
+    if keep_lang is not None:
+        drop = drop | (F.col("pred_lang") != F.lit(keep_lang))
+    victims = docs.filter(drop).select("doc_id", "url", "lang").localCheckpoint()
+    n_victims = victims.count()
+
+    if dry_run:
+        by_lang = {
+            r["lang"]: r["n"]
+            for r in victims.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        return {
+            "dry_run": True,
+            "n_docs_dropped": n_victims,
+            "by_lang": by_lang,
+            "batch_id": batch_id,
+            "selector": selector,
+        }
+    stats: dict = {"batch_id": batch_id, "selector": selector, "n_docs_pruned": n_victims}
+    if n_victims == 0:
+        _record_batch(kg_dir, batch_id, stats)
+        return stats
+
+    _record_batch_started(kg_dir, batch_id)
+    old_chunk_ids = _purge_doc_rows(spark, kg_dir, victims.select("doc_id", "url"), batch_id)
+    stats["n_chunks_purged"] = old_chunk_ids.count()
+    stats["ann_index_purged"] = _purge_ann_vectors(spark, kg_dir, old_chunk_ids)
+    stats["entity_gc"] = gc_entities(spark, kg_dir, batch_id)
+    _record_batch(kg_dir, batch_id, stats)
+    return stats

@@ -684,6 +684,26 @@ def main() -> None:
     cp.add_argument("--kg-dir", required=True)
     cp.add_argument("--partitions", type=int, default=None)
 
+    pr = sub.add_parser(
+        "prune",
+        help="curation over a built KG: delete docs matching a drop "
+        "selector from every table (+ ANN vectors) and repair the "
+        "entity graph exactly (orphans vanish, components split)",
+    )
+    pr.add_argument("--kg-dir", required=True)
+    pr.add_argument("--where", default=None,
+                    help="SQL drop predicate over doc_id, url, lang, text, "
+                    "pred_lang, quality, n_tokens")
+    pr.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs with quality < this")
+    pr.add_argument("--keep-lang", default=None,
+                    help="drop docs whose predicted language differs")
+    pr.add_argument("--batch-id", default=None,
+                    help="ledger id (default: hash of the selector — "
+                    "re-running the same prune is a no-op)")
+    pr.add_argument("--dry-run", action="store_true",
+                    help="report how many docs WOULD be dropped, by lang")
+
     ex = sub.add_parser(
         "export",
         help="bulk-export the KG as a neo4j-admin database import file "
@@ -775,6 +795,25 @@ def main() -> None:
         spark = get_spark(app_name="kg_compact")
         print(json.dumps(
             compact_tables(spark, args.kg_dir, target_partitions=args.partitions),
+            indent=2,
+        ))
+        spark.stop()
+        return
+    if args.cmd == "prune":
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import prune_kg
+
+        spark = get_spark(app_name="kg_prune")
+        print(json.dumps(
+            prune_kg(
+                spark,
+                args.kg_dir,
+                where=args.where,
+                min_quality=args.min_quality,
+                keep_lang=args.keep_lang,
+                batch_id=args.batch_id,
+                dry_run=args.dry_run,
+            ),
             indent=2,
         ))
         spark.stop()
