@@ -704,6 +704,17 @@ def main() -> None:
     pr.add_argument("--dry-run", action="store_true",
                     help="report how many docs WOULD be dropped, by lang")
 
+    ev = sub.add_parser(
+        "evaluate",
+        help="ANN serving-quality report: recall@k of the written index "
+        "vs the exact scan on a deterministic self-query sample",
+    )
+    ev.add_argument("--kg-dir", required=True)
+    ev.add_argument("--sample", type=int, default=64)
+    ev.add_argument("--top-k", type=int, default=10)
+    ev.add_argument("--n-probe", type=int, default=3)
+    ev.add_argument("--seed", type=int, default=7)
+
     ex = sub.add_parser(
         "export",
         help="bulk-export the KG as a neo4j-admin database import file "
@@ -795,6 +806,24 @@ def main() -> None:
         spark = get_spark(app_name="kg_compact")
         print(json.dumps(
             compact_tables(spark, args.kg_dir, target_partitions=args.partitions),
+            indent=2,
+        ))
+        spark.stop()
+        return
+    if args.cmd == "evaluate":
+        from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+        from hybrid_graphrag_with_qdrant_neo4j_spark.plans.evaluate import evaluate_ann
+
+        spark = get_spark(app_name="kg_evaluate")
+        print(json.dumps(
+            evaluate_ann(
+                spark,
+                args.kg_dir,
+                sample=args.sample,
+                top_k=args.top_k,
+                n_probe=args.n_probe,
+                seed=args.seed,
+            ),
             indent=2,
         ))
         spark.stop()
