@@ -200,3 +200,28 @@ def test_cli_prune_verb(spark, tmp_path_factory, monkeypatch, capsys):
     got = json.loads(capsys.readouterr().out)
     assert got["n_docs_pruned"] == dry["n_docs_dropped"]
     assert spark.read.parquet(f"{out}/text/data").count() == n_before - got["n_docs_pruned"]
+
+
+def test_pruned_url_can_reingest_via_append(spark, tmp_path):
+    """Prune removes a doc's rows from the text snapshot, so the URL
+    dedup shield no longer blocks it: a later crawl batch re-delivering
+    that URL re-ingests it (deliberate — prune is curation, not a
+    blocklist; a permanent ban belongs in the crawl frontier)."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import append_batch
+
+    keep = _page("https://ok.example/a",
+                 "Dana Fox founded Acme Corporation in 1999.")
+    spam = _page("https://spam.example/x",
+                 "Erin Cole founded Globex Systems in 2001.")
+    kg = str(tmp_path / "kg")
+    build_kg(spark, _pages_df(spark, [keep, spam]), kg, input_fingerprint="r1")
+
+    stats = prune_kg(spark, kg, where="url like '%spam%'", batch_id="p1")
+    assert stats["n_docs_pruned"] == 1
+
+    re_crawl = append_batch(
+        spark, kg, _pages_df(spark, [spam]), batch_id="crawl2"
+    )
+    assert re_crawl["n_pages"] == 1
+    urls = {r["url"] for r in spark.read.parquet(f"{kg}/text/data").collect()}
+    assert "https://spam.example/x" in urls
