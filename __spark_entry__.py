@@ -100,6 +100,7 @@ def _kg_dir(spark: SparkSession) -> str:
     if key in _KG_BUILT and os.path.isdir(_KG_DIR):
         return _KG_DIR
     pages = corpus.pages_spark_df(spark, 120, partitions=8)
+    pages.write.mode("overwrite").parquet(os.path.join(_KG_DIR, "pages.parquet"))
     p = pages_src.with_doc_id(pages_src.with_extracted_text(pages))
     chunks = chunker.chunk_documents(p, max_tokens=80).persist()
     en = chunks.filter(F.col("lang") == "en")
@@ -1196,6 +1197,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return r.select("entity_id", F.round("pagerank", 6).alias("pagerank"))
 
     q["kg_entity_pagerank"] = kg_entity_pagerank
+
+    # ---------------- web link graph (Common-Crawl curation) ----------------
+    # All four read the RAW pages parquet materialized by _kg_dir — the
+    # DuckDB twins re-extract the hrefs themselves (regexp_extract_all
+    # over decode(html)), so extraction/resolution/aggregation are all
+    # independently recomputed, not read back.
+
+    def web_page_outlinks(spark, sf):
+        """Per-page link census: anchors found, resolvable ones, and
+        cross-host ones.  Pages with zero anchors are absent (link
+        table, not a page census — that's web_domain_profile)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        raw = WG.outlinks(_kg(spark, "pages"))
+        res = raw.select(
+            "src_url", WG.resolve_href("src_url", "href").alias("dst_url")
+        )
+        ext = (
+            F.col("dst_url").isNotNull()
+            & (WG.host_of("dst_url") != WG.host_of("src_url"))
+        ).cast("long")
+        return res.groupBy("src_url").agg(
+            F.count("*").alias("n_hrefs"),
+            F.count("dst_url").alias("n_resolved"),
+            F.sum(ext).alias("n_external"),
+        )
+
+    q["web_page_outlinks"] = web_page_outlinks
+
+    def web_host_graph(spark, sf):
+        """Weighted domain graph: cross-host link occurrences grouped
+        on the (src_host, dst_host) pair key."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        return WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+
+    q["web_host_graph"] = web_host_graph
+
+    def web_domain_rank(spark, sf):
+        """10-iteration PageRank over the distinct host pairs (same
+        contract as kg_entity_pagerank; 6dp on both sides)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        r = WG.domain_rank(hg)
+        return r.select("host", F.round("pagerank", 6).alias("pagerank"))
+
+    q["web_domain_rank"] = web_domain_rank
+
+    def web_domain_profile(spark, sf):
+        """Per-host curation report over the raw pages table (quality /
+        language / emptiness aggregates — prune --where input)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        return WG.domain_profile(_kg(spark, "pages"))
+
+    q["web_domain_profile"] = web_domain_profile
 
     def kg_entity_khop(spark, sf):
         """Graph analytics: 3-hop undirected neighborhood (min-hop BFS
@@ -2466,6 +2526,107 @@ def oracle_sql() -> dict[str, str]:
         ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
         r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
         SELECT entity_id, ROUND(pagerank, 6) AS pagerank FROM r10
+    """
+
+    # -------- web link graph: hrefs re-extracted from the raw html ----------
+    # (decode() is safe: the synthetic corpus is ASCII-only even on its
+    # latin-1-encoded pages, so utf-8 decode succeeds on every row; the
+    # engine's own path still runs the utf-8→latin-1 ladder and its
+    # non-ASCII behavior is pytest-gated in test_webgraph.py)
+    _web_res_cte = f"""
+        hrefs AS (
+          SELECT url AS src_url,
+                 unnest(regexp_extract_all(decode(html),
+                        '<a\\s[^>]*href="([^"]*)"', 1)) AS href
+          FROM {_kg_pq("pages")}
+        ),
+        res AS (
+          SELECT src_url,
+                 CASE WHEN href LIKE 'http://%' OR href LIKE 'https://%'
+                        THEN href
+                      WHEN href LIKE '/%'
+                        THEN regexp_extract(src_url, '^(https?://[^/]+)', 1)
+                             || href
+                      ELSE NULL END AS dst_url
+          FROM hrefs
+        )"""
+    _web_hosts_cte = f"""{_web_res_cte},
+        hosts AS (
+          SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+                 regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+          FROM res WHERE dst_url IS NOT NULL
+        ),
+        hg AS (
+          SELECT src_host, dst_host, COUNT(*) AS n_links
+          FROM hosts
+          WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''
+          GROUP BY src_host, dst_host
+        )"""
+
+    sqls["web_page_outlinks"] = f"""
+        WITH {_web_res_cte}
+        SELECT src_url,
+               COUNT(*) AS n_hrefs,
+               COUNT(dst_url) AS n_resolved,
+               CAST(COALESCE(SUM(CASE WHEN dst_url IS NOT NULL
+                 AND regexp_extract(dst_url, '^https?://([^/]+)', 1)
+                     <> regexp_extract(src_url, '^https?://([^/]+)', 1)
+                 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_external
+        FROM res GROUP BY src_url
+    """
+
+    sqls["web_host_graph"] = f"""
+        WITH {_web_hosts_cte}
+        SELECT src_host, dst_host, n_links FROM hg
+    """
+
+    sqls["web_domain_rank"] = f"""
+        WITH {_web_hosts_cte},
+        g AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
+        SELECT entity_id AS host, ROUND(pagerank, 6) AS pagerank FROM r10
+    """
+
+    sqls["web_domain_profile"] = f"""
+        WITH base AS (
+          SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 lang,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 {_sw_count} AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) AS n_chars_a
+          FROM {_kg_pq("pages")}
+        ), r AS (
+          SELECT host, lang, n_chars_a,
+                 CAST(n_toks AS DOUBLE) AS n,
+                 CASE WHEN n_toks = 0 THEN 0.0
+                      ELSE CAST(n_stop AS DOUBLE) / n_toks END AS sr,
+                 CASE WHEN n_chars_a = 0 THEN 0.0
+                      ELSE CAST(n_punct AS DOUBLE) / n_chars_a END AS pr
+          FROM base
+        )
+        SELECT host,
+               COUNT(*) AS n_pages,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_en,
+               CAST(SUM(CASE WHEN n_chars_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_empty,
+               -- integer micro-unit sum + ONE double division: exact and
+               -- addition-order-independent (avg-then-round disagrees
+               -- between engines on exact 7th-decimal halves)
+               CAST(SUM(CAST(ROUND(ROUND(0.4 * least(n / 100.0, 1.0)
+                   + 0.3 * least(sr * 3.0, 1.0)
+                   + 0.3 * greatest(1.0 - pr * 5.0, 0.0), 6) * 1e6)
+                   AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0)
+                 AS mean_quality,
+               CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) / COUNT(*)
+                 AS mean_tokens
+        FROM r GROUP BY host
     """
 
     # 3-hop undirected min-hop BFS from a seed entity, unrolled one CTE

@@ -133,15 +133,54 @@ def _page_text(rng: random.Random, n_sentences: int) -> str:
     return " ".join(sents)
 
 
-def _render_html(title: str, body_text: str) -> str:
+def _page_links(i: int, seed: int) -> List[str]:
+    """Deterministic outbound hrefs for page i (the web link graph).
+
+    Drawn from an INDEPENDENT rng stream (different multiplier than the
+    body stream) so adding links never shifts any text/lang/encoding
+    draw — existing fixtures stay byte-identical on the ``text`` column.
+
+    Link shape mirrors a real crawl:
+      - ~10% of pages have no links;
+      - targets prefer EARLIER pages (``u**3`` skew), so low-numbered
+        hosts (``site0``..) become hubs — the dst-host hot keys a
+        domain-rank job must absorb;
+      - ~15% relative hrefs (``/page/N``, same-host resolution),
+        ~5% fragment-only, ~3% ``mailto:`` (both dropped by
+        resolution), ~10% exact duplicates (link multiplicity).
+    """
+    lrng = random.Random(seed * 2_000_003 + 7_919 * i + 13)
+    if lrng.random() < 0.10:
+        return []
+    links: List[str] = []
+    for _ in range(2 + lrng.randrange(6)):
+        r = lrng.random()
+        j = int(lrng.random() ** 3 * max(i, 1))
+        if r < 0.05:
+            links.append(f"#section{j % 7}")
+        elif r < 0.08:
+            links.append("mailto:contact@site.example")
+        elif r < 0.23:
+            links.append(f"/page/{j}")
+        else:
+            links.append(f"https://site{j % 97}.example/page/{j}")
+        if links and lrng.random() < 0.10:
+            links.append(links[-1])
+    return links
+
+
+def _render_html(title: str, body_text: str, links: List[str] = ()) -> str:
     # one <p> per sentence, delimiter kept — tag-strip + whitespace
-    # collapse reproduces body_text byte-for-byte
+    # collapse reproduces body_text byte-for-byte; anchors carry EMPTY
+    # text so the link footer adds only whitespace under extraction
+    # (the byte-identical-text invariant is untouched)
     paras = "".join(f"<p>{s} </p>" for s in body_text.split(" "))
+    footer = "".join(f'<a href="{h}"></a>' for h in links)
     return (
         "<html><head><title>" + title + "</title>"
         "<style>p{margin:0}</style>"
         "<script>var x=1;</script></head>"
-        "<body>" + paras + "</body></html>"
+        "<body>" + paras + footer + "</body></html>"
     )
 
 
@@ -152,15 +191,16 @@ def page_row(i: int, seed: int = 42, sentences_per_page: int = 12) -> Dict:
     warc_ts = _EPOCH + _dt.timedelta(seconds=37 * i)
     r = rng.random()
     lang = "en" if r < 0.90 else ("de", "fr", "zz")[i % 3]
+    links = _page_links(i, seed)
     if rng.random() < 0.02:
         text = ""
         html = "<html><head><title>t</title></head><body></body></html>"
     elif lang == "en":
         text = _page_text(rng, sentences_per_page)
-        html = _render_html(f"Page {i}", text)
+        html = _render_html(f"Page {i}", text, links)
     else:
         text = _NONEN_SENTENCES[lang]
-        html = _render_html(f"Seite {i}", text)
+        html = _render_html(f"Seite {i}", text, links)
     encoding = "latin-1" if rng.random() < 0.05 else "utf-8"
     return {
         "url": url,

@@ -1,0 +1,214 @@
+"""Web link graph over the raw pages table (Common-Crawl-native).
+
+The reference pipeline never looks at a page's outbound links — it
+ingests each document in isolation (ingest.py:38-63).  At crawl scale
+the link structure is itself first-class curation signal: which hosts
+are hubs, which domains does the corpus over-sample, which pages should
+a pruning pass keep because high-rank domains point at them.  This
+module extracts that structure from the SAME ``html`` binary column the
+text extractor reads, so a single pruned scan of the pages table feeds
+both the KG build and the link graph.
+
+Pipeline shape (all DataFrame-native):
+
+    pages(url, html, ...)
+      → outlinks        one Arrow pandas UDF: regex href extraction over
+                        the decode ladder (utf-8→latin-1, shared with
+                        textproc.decode_page_bytes) + explode
+      → resolved_links  whole-stage-codegen resolution: absolute http(s)
+                        kept, '/'-relative resolved against the source
+                        host, everything else (fragments, mailto:)
+                        dropped
+      → host_graph      (src_host, dst_host, n_links) groupBy — the
+                        map-side partial agg absorbs per-page duplicate
+                        links before the shuffle
+      → domain_rank     PageRank over DISTINCT host pairs (reuses
+                        operators/graph_analytics.pagerank)
+
+100 TB design: href extraction is embarrassingly parallel (one pass
+over the pages scan, no shuffle); the only shuffle is the host-pair
+groupBy, keyed on (src_host, dst_host) — hot dst hosts (every crawl has
+them; the synthetic corpus plants them deliberately) are absorbed by
+map-side combine because the PAIR key stays well-distributed even when
+one side is hot.  The host graph itself is tiny relative to the corpus
+(|hosts| ≪ |pages|), so the iterative rank runs on a table that fits
+comfortably in one executor's cache — rank cost does not scale with
+corpus bytes, only with distinct hosts.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from .. import textproc as tp
+from . import graph_analytics
+
+# href attribute of an anchor tag; [^>]* keeps it inside the tag.  RE2-
+# compatible (no lookaround/backrefs) so the DuckDB oracle twin runs the
+# IDENTICAL pattern via regexp_extract_all.
+_HREF_PATTERN = r'<a\s[^>]*href="([^"]*)"'
+_HREF_RE = re.compile(_HREF_PATTERN)
+
+_HOST_PATTERN = r"^https?://([^/]+)"
+
+
+_OUTLINKS_SCHEMA = T.StructType(
+    [
+        T.StructField("src_url", T.StringType(), False),
+        T.StructField("href", T.StringType(), False),
+    ]
+)
+
+
+def outlinks(pages: DataFrame, html_col: str = "html",
+             url_col: str = "url") -> DataFrame:
+    """(src_url, href) — one row per anchor occurrence, duplicates kept
+    (multiplicity is signal for the weighted host graph).
+
+    mapInPandas rather than scalar-UDF + explode: Catalyst's
+    InferFiltersFromGenerate pushes a ``size(e)>0`` filter beneath the
+    Generate and DUPLICATES the generator child expression — a scalar
+    extraction UDF ends up running twice per page (observed in the
+    plan: two ArrowEvalPython nodes over the same html).  Emitting the
+    exploded rows from one Arrow pass keeps extraction single-run.
+
+    Pages without links disappear (link table, not a page census —
+    page-level stats come from :func:`domain_profile`).
+    """
+    import numpy as np
+
+    src = pages.select(
+        F.col(url_col).alias("src_url"), F.col(html_col).alias("_html")
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            per_page = [
+                _HREF_RE.findall(tp.decode_page_bytes(bytes(b)))
+                if b is not None
+                else []
+                for b in pdf["_html"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "src_url": np.repeat(
+                        pdf["src_url"].to_numpy(),
+                        [len(h) for h in per_page],
+                    ),
+                    "href": [h for lst in per_page for h in lst],
+                }
+            )
+
+    return src.mapInPandas(gen, _OUTLINKS_SCHEMA)
+
+
+def host_of(url_col) -> Column:
+    """scheme-stripped host — regexp both here and in the SQL twin so
+    the two sides share one definition."""
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    return F.regexp_extract(c, _HOST_PATTERN, 1)
+
+
+def resolve_href(src: str = "src_url", href: str = "href") -> Column:
+    """Resolved destination url (or NULL): absolute http(s) hrefs kept
+    verbatim, '/'-relative resolved against the source page's
+    scheme+host, everything else (fragments, mailto:, other schemes)
+    NULL.  Pure whole-stage-codegen column expression — no UDF."""
+    base = F.regexp_extract(F.col(src), r"^(https?://[^/]+)", 1)
+    return (
+        F.when(F.col(href).rlike("^https?://"), F.col(href))
+        .when(F.col(href).startswith("/"), F.concat(base, F.col(href)))
+        .otherwise(F.lit(None))
+    )
+
+
+def resolved_links(links: DataFrame, src: str = "src_url",
+                   href: str = "href") -> DataFrame:
+    """(src_url, dst_url) with unresolvable hrefs dropped — see
+    :func:`resolve_href`."""
+    return (
+        links.select(
+            F.col(src).alias("src_url"),
+            resolve_href(src, href).alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+    )
+
+
+def host_graph(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """(src_host, dst_host, n_links) — the weighted domain graph.
+
+    Self-host edges (intra-site navigation) are dropped by default:
+    they dominate raw counts on any real site and carry no cross-domain
+    authority signal.  n_links counts anchor OCCURRENCES (duplicates
+    included) — the weight a weighted rank would use; the unweighted
+    :func:`domain_rank` de-duplicates pairs itself.
+    """
+    hosts = links.select(
+        host_of("src_url").alias("src_host"),
+        host_of("dst_url").alias("dst_host"),
+    ).filter((F.col("src_host") != "") & (F.col("dst_host") != ""))
+    if drop_self:
+        hosts = hosts.filter(F.col("src_host") != F.col("dst_host"))
+    return hosts.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
+    )
+
+
+def domain_rank(hgraph: DataFrame, damping: float = 0.85,
+                iterations: int = 10) -> DataFrame:
+    """(host, pagerank) — PageRank over the distinct host pairs of a
+    :func:`host_graph`.  Same contract as graph_analytics.pagerank
+    (GraphX un-normalized form, dangling mass dropped); link
+    multiplicity is ignored — an unweighted authority rank, which is
+    what crawl frontier scoring conventionally uses."""
+    r = graph_analytics.pagerank(
+        hgraph, src="src_host", dst="dst_host",
+        damping=damping, iterations=iterations,
+    )
+    return r.select(F.col("entity_id").alias("host"), "pagerank")
+
+
+def domain_profile(pages: DataFrame, url_col: str = "url",
+                   text_col: str = "text",
+                   lang_col: str = "lang") -> DataFrame:
+    """Per-host curation report over the raw pages table:
+    (host, n_pages, n_en, n_empty, mean_quality, mean_tokens).
+
+    One pruned scan (url, text, lang), one groupBy on host — every
+    metric is an algebraic aggregate so the map-side partial absorbs
+    each host's page mass before the shuffle.  quality/token columns
+    come from functions.text_quality (whole-stage codegen, no UDF).
+    Feeds prune --where: e.g. drop every page of a host whose
+    mean_quality sits below threshold.
+
+    Means are computed as INTEGER sums (quality in 1e-6 micro-units —
+    exact, since quality_score is 6dp-rounded) followed by ONE double
+    division: bit-identical across engines and across any partial-agg
+    addition order, where avg-then-round disagrees between Spark and
+    DuckDB on exact 7th-decimal halves (observed on this corpus).
+    """
+    from ..functions import text_quality as TQ
+
+    base = pages.select(
+        host_of(url_col).alias("host"),
+        F.col(lang_col).alias("lang"),
+        F.round(TQ.quality_score(F.col(text_col)) * F.lit(1e6))
+        .cast("long")
+        .alias("q_micro"),
+        TQ.token_count(F.col(text_col)).cast("long").alias("n_toks"),
+        (F.length(F.col(text_col)) == 0).cast("int").alias("is_empty"),
+    )
+    return base.groupBy("host").agg(
+        F.count("*").alias("n_pages"),
+        F.sum((F.col("lang") == "en").cast("int")).alias("n_en"),
+        F.sum("is_empty").alias("n_empty"),
+        (
+            F.sum("q_micro").cast("double")
+            / (F.count("*") * F.lit(1_000_000.0))
+        ).alias("mean_quality"),
+        (F.sum("n_toks").cast("double") / F.count("*")).alias("mean_tokens"),
+    )

@@ -1,0 +1,213 @@
+"""Web link graph: href extraction / resolution / host graph / domain
+rank / domain profile — Spark vs pure-Python oracles on the synthetic
+corpus (links planted by corpus._page_links)."""
+
+import random
+import re
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from hybrid_graphrag_with_qdrant_neo4j_spark import corpus, textproc as tp
+from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+from hybrid_graphrag_with_qdrant_neo4j_spark.sources import pages as pages_src
+
+N_PAGES = 160
+
+_HREF_RE = re.compile(r'<a\s[^>]*href="([^"]*)"')
+_HOST_RE = re.compile(r"^https?://([^/]+)")
+
+
+def _oracle_rows():
+    return list(corpus.generate_pages(N_PAGES))
+
+
+def _oracle_links(rows):
+    """(src_url, dst_url) resolved pairs, duplicates kept."""
+    out = []
+    for r in rows:
+        doc = tp.decode_page_bytes(r["html"])
+        m = _HOST_RE.match(r["url"])
+        base = "https://" + m.group(1) if m else ""
+        for href in _HREF_RE.findall(doc):
+            if href.startswith("http://") or href.startswith("https://"):
+                out.append((r["url"], href))
+            elif href.startswith("/"):
+                out.append((r["url"], base + href))
+    return out
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    df = corpus.pages_spark_df(spark, N_PAGES, partitions=6).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_corpus_plants_links_and_text_invariant_holds():
+    """Links exist, include every planted shape, and the extracted text
+    stays byte-identical to the text column (empty anchors only)."""
+    rows = _oracle_rows()
+    all_hrefs = []
+    for r in rows:
+        doc = tp.decode_page_bytes(r["html"])
+        all_hrefs.extend(_HREF_RE.findall(doc))
+        assert tp.extract_text_from_html(r["html"]) == r["text"]
+    assert len(all_hrefs) > N_PAGES  # links are actually planted
+    assert any(h.startswith("https://") for h in all_hrefs)
+    assert any(h.startswith("/page/") for h in all_hrefs)
+    assert any(h.startswith("#") for h in all_hrefs)
+    assert any(h.startswith("mailto:") for h in all_hrefs)
+    assert len(all_hrefs) > len(set((i, h) for i, h in enumerate(all_hrefs))) - 1
+
+
+def test_outlinks_extraction_matches_oracle(spark, pages_df):
+    rows = _oracle_rows()
+    want = Counter()
+    for r in rows:
+        for href in _HREF_RE.findall(tp.decode_page_bytes(r["html"])):
+            want[(r["url"], href)] += 1
+    got = Counter(
+        (x["src_url"], x["href"])
+        for x in WG.outlinks(pages_df).collect()
+    )
+    assert got == want
+
+
+def test_outlinks_handles_latin1_and_null_html(spark):
+    html_l1 = '<html><body><p>caf\xe9 </p><a href="https://a.example/x"></a></body></html>'.encode(
+        "latin-1"
+    )
+    df = spark.createDataFrame(
+        [("https://l1.example/p", html_l1), ("https://n.example/p", None)],
+        "url string, html binary",
+    )
+    got = [(r["src_url"], r["href"]) for r in WG.outlinks(df).collect()]
+    assert got == [("https://l1.example/p", "https://a.example/x")]
+
+
+def test_resolved_links_match_oracle(spark, pages_df):
+    rows = _oracle_rows()
+    want = Counter(_oracle_links(rows))
+    got = Counter(
+        (x["src_url"], x["dst_url"])
+        for x in WG.resolved_links(WG.outlinks(pages_df)).collect()
+    )
+    assert got == want
+    # resolution really dropped the fragments/mailto
+    assert all(d.startswith("http") for _, d in got)
+
+
+def test_resolution_cases(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://s.example/p/1", "https://t.example/x"),
+            ("https://s.example/p/1", "http://t2.example/y"),
+            ("https://s.example/p/1", "/page/9"),
+            ("https://s.example/p/1", "#frag"),
+            ("https://s.example/p/1", "mailto:a@b.c"),
+            ("https://s.example/p/1", ""),
+        ],
+        "src_url string, href string",
+    )
+    got = {(r["src_url"], r["dst_url"]) for r in WG.resolved_links(df).collect()}
+    assert got == {
+        ("https://s.example/p/1", "https://t.example/x"),
+        ("https://s.example/p/1", "http://t2.example/y"),
+        ("https://s.example/p/1", "https://s.example/page/9"),
+    }
+
+
+def test_host_graph_counts_match_oracle(spark, pages_df):
+    rows = _oracle_rows()
+    want = Counter()
+    for src, dst in _oracle_links(rows):
+        sh, dh = _HOST_RE.match(src).group(1), _HOST_RE.match(dst).group(1)
+        if sh != dh:
+            want[(sh, dh)] += 1
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    got = {
+        (r["src_host"], r["dst_host"]): r["n_links"] for r in hg.collect()
+    }
+    assert got == dict(want)
+
+
+def test_domain_rank_matches_python_pagerank(spark, pages_df):
+    rows = _oracle_rows()
+    pairs = set()
+    for src, dst in _oracle_links(rows):
+        sh, dh = _HOST_RE.match(src).group(1), _HOST_RE.match(dst).group(1)
+        if sh != dh:
+            pairs.add((sh, dh))
+    nodes = sorted({h for p in pairs for h in p})
+    outdeg = Counter(s for s, _ in pairs)
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        mass = defaultdict(float)
+        for s, d in sorted(pairs):
+            mass[d] += rank[s] / outdeg[s]
+        rank = {n: 0.15 + 0.85 * mass.get(n, 0.0) for n in nodes}
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    got = {r["host"]: r["pagerank"] for r in WG.domain_rank(hg).collect()}
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert got[n] == pytest.approx(rank[n], abs=1e-9)
+    # the planted preferential skew makes low-numbered sites hubs
+    top = max(got, key=got.get)
+    assert int(re.match(r"site(\d+)", top).group(1)) < 10
+
+
+def test_domain_profile_matches_oracle(spark, pages_df):
+    from hybrid_graphrag_with_qdrant_neo4j_spark.functions import text_quality as TQ
+
+    rows = _oracle_rows()
+    per_host = defaultdict(list)
+    for r in rows:
+        per_host[_HOST_RE.match(r["url"]).group(1)].append(r)
+    prof = {r["host"]: r for r in WG.domain_profile(pages_df).collect()}
+    assert set(prof) == set(per_host)
+    some_host = sorted(per_host)[0]
+    got = prof[some_host]
+    grp = per_host[some_host]
+    assert got["n_pages"] == len(grp)
+    assert got["n_en"] == sum(1 for r in grp if r["lang"] == "en")
+    assert got["n_empty"] == sum(1 for r in grp if len(r["text"]) == 0)
+    # spot-check mean_tokens against the engine's own token counter on
+    # a single-page host (the counter itself is parity-gated elsewhere)
+    single = [h for h, g in per_host.items() if len(g) == 1]
+    if single:
+        h = single[0]
+        one = spark.createDataFrame(
+            [(per_host[h][0]["text"],)], "text string"
+        ).select(TQ.token_count(F.col("text")).alias("n"))
+        assert prof[h]["mean_tokens"] == pytest.approx(
+            one.collect()[0]["n"], abs=1e-6
+        )
+
+
+def test_host_graph_plan_single_pass_single_shuffle(spark, pages_df):
+    """Plan gate: one Arrow pass over the pages (extraction runs ONCE —
+    the scalar-UDF+explode shape re-ran it twice via
+    InferFiltersFromGenerate) and exactly one exchange (the pair-key
+    groupBy with map-side partial agg)."""
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    plan = hg._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("ArrowEvalPython") == 0
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_page_links_deterministic_and_independent_of_body_stream():
+    a = corpus.page_row(7)
+    b = corpus.page_row(7)
+    assert a["html"] == b["html"] and a["text"] == b["text"]
+    # the link stream is independent: same page under a different seed
+    # keeps the INVARIANT (text == extract(html)) even though links move
+    c = corpus.page_row(7, seed=99)
+    assert tp.extract_text_from_html(c["html"]) == c["text"]
+    assert random.Random(42 * 2_000_003 + 7_919 * 7 + 13).random() == random.Random(
+        42 * 2_000_003 + 7_919 * 7 + 13
+    ).random()
