@@ -446,6 +446,77 @@ def _analytics_main(args) -> None:
     spark.stop()
 
 
+def _webgraph_main(args) -> None:
+    """Link-graph curation report over a RAW pages table (pre-KG): href
+    extraction → host graph → domain PageRank → per-host quality
+    profile.  The reference has no link-level view at all; at crawl
+    scale this is the signal a prune/frontier decision reads (e.g.
+    'drop every page of a host with mean_quality < 0.3', which prune
+    --where can then express).  Writes the three derived tables as
+    parquet when --out-dir is given and prints a top-N JSON summary."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+    from pyspark.sql import functions as F
+
+    spark = get_spark(app_name="kg_webgraph")
+    if args.input:
+        pages = spark.read.parquet(args.input)
+    else:
+        pages = corpus.pages_spark_df(spark, args.pages, seed=args.seed)
+    links = WG.resolved_links(WG.outlinks(pages))
+    hg = WG.host_graph(links).persist()
+    rank = WG.domain_rank(hg, damping=args.damping,
+                          iterations=args.iterations).persist()
+    prof = WG.domain_profile(pages).persist()
+    if args.out_dir:
+        hg.write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "host_graph.parquet"))
+        rank.write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "domain_rank.parquet"))
+        prof.write.mode("overwrite").parquet(
+            os.path.join(args.out_dir, "domain_profile.parquet"))
+    top = (
+        rank.join(prof, rank["host"] == prof["host"], "left")
+        .select(rank["host"], "pagerank", "n_pages", "mean_quality")
+        .orderBy(F.desc("pagerank"), F.asc("host"))
+        .limit(args.top)
+        .collect()
+    )
+    low_q = (
+        prof.filter(F.col("mean_quality") < args.quality_flag)
+        .orderBy(F.asc("mean_quality"), F.asc("host"))
+        .limit(args.top)
+        .collect()
+    )
+    out = {
+        "n_hosts": prof.count(),
+        "n_host_edges": hg.count(),
+        "n_links": links.count(),
+        "top_hosts": [
+            {
+                "host": r["host"],
+                "pagerank": round(r["pagerank"], 6),
+                "n_pages": r["n_pages"],
+                "mean_quality": r["mean_quality"],
+            }
+            for r in top
+        ],
+        "low_quality_hosts": [
+            {
+                "host": r["host"],
+                "mean_quality": r["mean_quality"],
+                "n_pages": r["n_pages"],
+            }
+            for r in low_q
+        ],
+    }
+    if args.out_dir:
+        out["out_dir"] = args.out_dir
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
 def _info_main(args) -> None:
     """Print every stage's checkpoint manifest — the per-partition
     lineage + metrics the north rule requires, made user-visible.  Pure
@@ -677,6 +748,23 @@ def main() -> None:
     an.add_argument("--min-cooccur", type=int, default=2,
                     help="minimum co-mention count for --cooccurrence")
 
+    wg = sub.add_parser(
+        "webgraph",
+        help="link-graph curation report over a raw pages table: host "
+        "graph, domain PageRank, per-host quality profile",
+    )
+    wg.add_argument("--input", help="parquet dir of pages (input_hint schema)")
+    wg.add_argument("--pages", type=int, default=1000,
+                    help="synthetic corpus size when --input is absent")
+    wg.add_argument("--seed", type=int, default=42)
+    wg.add_argument("--out-dir", default=None,
+                    help="write host_graph/domain_rank/domain_profile parquet")
+    wg.add_argument("--top", type=int, default=10)
+    wg.add_argument("--iterations", type=int, default=10)
+    wg.add_argument("--damping", type=float, default=0.85)
+    wg.add_argument("--quality-flag", type=float, default=0.30,
+                    help="report hosts with mean_quality below this")
+
     cp = sub.add_parser(
         "compact",
         help="small-file compaction of the KG snapshots after appends",
@@ -796,6 +884,9 @@ def main() -> None:
         return
     if args.cmd == "analytics":
         _analytics_main(args)
+        return
+    if args.cmd == "webgraph":
+        _webgraph_main(args)
         return
     if args.cmd == "compact":
         from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark

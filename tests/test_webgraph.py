@@ -200,6 +200,40 @@ def test_host_graph_plan_single_pass_single_shuffle(spark, pages_df):
     assert "CartesianProduct" not in plan
 
 
+def test_cli_webgraph_verb(spark, tmp_path_factory, monkeypatch, capsys):
+    import json
+
+    import run_pipeline
+
+    out = str(tmp_path_factory.mktemp("wg_out"))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "webgraph", "--pages", str(N_PAGES),
+         "--out-dir", out, "--top", "3"],
+    )
+    run_pipeline.main()
+    got = json.loads(capsys.readouterr().out)
+    # cross-check against the oracle-derived numbers
+    rows = _oracle_rows()
+    links = _oracle_links(rows)
+    pairs = Counter()
+    for src, dst in links:
+        sh, dh = _HOST_RE.match(src).group(1), _HOST_RE.match(dst).group(1)
+        if sh != dh:
+            pairs[(sh, dh)] += 1
+    assert got["n_links"] == len(links)
+    assert got["n_host_edges"] == len(pairs)
+    assert got["n_hosts"] == len({_HOST_RE.match(r["url"]).group(1) for r in rows})
+    assert len(got["top_hosts"]) == 3
+    assert got["top_hosts"][0]["pagerank"] >= got["top_hosts"][1]["pagerank"]
+    # the written parquet round-trips
+    hg = spark.read.parquet(f"{out}/host_graph.parquet")
+    assert hg.count() == len(pairs)
+    assert spark.read.parquet(f"{out}/domain_rank.parquet").count() > 0
+    assert spark.read.parquet(f"{out}/domain_profile.parquet").count() == got["n_hosts"]
+
+
 def test_page_links_deterministic_and_independent_of_body_stream():
     a = corpus.page_row(7)
     b = corpus.page_row(7)
