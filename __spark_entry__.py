@@ -1257,6 +1257,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_profile"] = web_domain_profile
 
+    # ---------------- temporal provenance (warc_ts axis) ----------------
+
+    def kg_edge_history(spark, sf):
+        """Per canonical edge: crawl-time support window + support
+        counts (edges ⨝ pages on url, algebraic aggregates)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import temporal
+
+        return temporal.edge_history(_kg(spark, "edges"), _kg(spark, "pages"))
+
+    q["kg_edge_history"] = kg_edge_history
+
+    def kg_edges_asof(spark, sf):
+        """Provenance-filtered KG view: distinct triples supported by a
+        page crawled in the first 30 minutes of the synthetic crawl
+        (NOT a rebuild — entity resolution stays corpus-wide; see
+        operators/temporal.py docstring)."""
+        import datetime as _dt
+
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import temporal
+
+        return temporal.edges_asof(
+            _kg(spark, "edges"),
+            _kg(spark, "pages"),
+            _dt.datetime(2025, 1, 1, 0, 30, 0),
+        )
+
+    q["kg_edges_asof"] = kg_edges_asof
+
+    def kg_entity_timeline(spark, sf):
+        """Per surface-form entity: first/last crawl sighting and
+        mention/page support (mentions ⨝ chunks ⨝ pages)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import temporal
+
+        return temporal.entity_timeline(
+            _kg(spark, "mentions"), _kg(spark, "chunks"), _kg(spark, "pages")
+        )
+
+    q["kg_entity_timeline"] = kg_entity_timeline
+
     def kg_entity_khop(spark, sf):
         """Graph analytics: 3-hop undirected neighborhood (min-hop BFS
         levels) around a seed entity — the variable-length Cypher walk
@@ -2627,6 +2666,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) / COUNT(*)
                  AS mean_tokens
         FROM r GROUP BY host
+    """
+
+    # -------- temporal provenance: warc_ts joins over the KG snapshots ------
+    sqls["kg_edge_history"] = f"""
+        SELECT e.subj_id, e.pred, e.obj_id,
+               MIN(p.warc_ts) AS first_seen,
+               MAX(p.warc_ts) AS last_seen,
+               COUNT(DISTINCT e.chunk_id) AS n_chunks,
+               COUNT(DISTINCT e.url) AS n_pages
+        FROM {_kg_pq("edges")} e
+        JOIN {_kg_pq("pages")} p ON e.url = p.url
+        GROUP BY e.subj_id, e.pred, e.obj_id
+    """
+
+    sqls["kg_edges_asof"] = f"""
+        SELECT DISTINCT e.subj_id, e.pred, e.obj_id
+        FROM {_kg_pq("edges")} e
+        WHERE e.url IN (
+          SELECT url FROM {_kg_pq("pages")}
+          WHERE warc_ts <= TIMESTAMP '2025-01-01 00:30:00'
+        )
+    """
+
+    sqls["kg_entity_timeline"] = f"""
+        SELECT m.entity_name,
+               MIN(p.warc_ts) AS first_seen,
+               MAX(p.warc_ts) AS last_seen,
+               COUNT(*) AS n_mentions,
+               COUNT(DISTINCT c.url) AS n_pages
+        FROM {_kg_pq("mentions")} m
+        JOIN {_kg_pq("chunks")} c ON m.chunk_id = c.chunk_id
+        JOIN {_kg_pq("pages")} p ON c.url = p.url
+        GROUP BY m.entity_name
     """
 
     # 3-hop undirected min-hop BFS from a seed entity, unrolled one CTE

@@ -442,6 +442,41 @@ def _analytics_main(args) -> None:
             }
             for r in pairs
         ]
+    if args.timeline:
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import temporal
+
+        rag = GraphRAG(spark, args.kg_dir)
+        tl = (
+            temporal.entity_timeline(
+                rag.table("mentions"), rag.table("chunks"), rag.table("text")
+            )
+            .filter(F.lower(F.col("entity_name")) == args.timeline.lower())
+            .collect()
+        )
+        out["timeline"] = [
+            {
+                "entity_name": r["entity_name"],
+                "first_seen": str(r["first_seen"]),
+                "last_seen": str(r["last_seen"]),
+                "n_mentions": r["n_mentions"],
+                "n_pages": r["n_pages"],
+            }
+            for r in tl
+        ]
+    if args.asof:
+        import datetime as _dt
+
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import temporal
+
+        rag = GraphRAG(spark, args.kg_dir)
+        ts = _dt.datetime.fromisoformat(args.asof)
+        n_asof = temporal.edges_asof(edges, rag.table("text"), ts).count()
+        n_all = edges.select("subj_id", "pred", "obj_id").distinct().count()
+        out["asof"] = {
+            "ts": args.asof,
+            "n_edges_asof": n_asof,
+            "n_edges_total": n_all,
+        }
     print(json.dumps(out, indent=2))
     spark.stop()
 
@@ -747,6 +782,12 @@ def main() -> None:
                     "co-mentions (latent relations the triples missed)")
     an.add_argument("--min-cooccur", type=int, default=2,
                     help="minimum co-mention count for --cooccurrence")
+    an.add_argument("--timeline", default=None, metavar="ENTITY",
+                    help="crawl-time window + support for this entity "
+                    "(first/last warc_ts sighting)")
+    an.add_argument("--asof", default=None, metavar="TS",
+                    help="ISO timestamp: report the provenance-filtered "
+                    "edge count as of this crawl time")
 
     wg = sub.add_parser(
         "webgraph",
