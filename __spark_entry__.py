@@ -1248,6 +1248,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_rank"] = web_domain_rank
 
+    def web_domain_rank_weighted(spark, sf):
+        """10-iteration weighted PageRank: mass split ∝ n_links over
+        the host graph (6dp on both sides)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        r = WG.domain_rank_weighted(hg)
+        return r.select("host", F.round("pagerank", 6).alias("pagerank"))
+
+    q["web_domain_rank_weighted"] = web_domain_rank_weighted
+
     def web_domain_profile(spark, sf):
         """Per-host curation report over the raw pages table (quality /
         language / emptiness aggregates — prune --where input)."""
@@ -2628,6 +2640,36 @@ def oracle_sql() -> dict[str, str]:
         od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
         ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
         r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
+        SELECT entity_id AS host, ROUND(pagerank, 6) AS pagerank FROM r10
+    """
+
+    # weighted-PageRank iterations: mass ∝ edge weight / total out-weight
+    # (same un-normalized GraphX form; duplicate pairs pre-summed in hg)
+    _wpr_iters = "".join(
+        f""",
+        r{k} AS (
+          SELECT n.entity_id,
+                 0.15 + 0.85 * COALESCE(s.m, 0.0) AS pagerank
+          FROM prnodes n LEFT JOIN (
+            SELECT ge.dst AS entity_id,
+                   SUM(rp.pagerank * ge.w / ge.outw) AS m
+            FROM ge JOIN r{k - 1} rp ON rp.entity_id = ge.src
+            GROUP BY ge.dst
+          ) s ON n.entity_id = s.entity_id
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["web_domain_rank_weighted"] = f"""
+        WITH {_web_hosts_cte},
+        gw AS (SELECT src_host AS src, dst_host AS dst,
+                      CAST(n_links AS DOUBLE) AS w FROM hg),
+        prnodes AS (
+          SELECT src AS entity_id FROM gw UNION SELECT dst FROM gw
+        ),
+        ow AS (SELECT src, SUM(w) AS outw FROM gw GROUP BY src),
+        ge AS (SELECT gw.src, gw.dst, gw.w, ow.outw
+               FROM gw JOIN ow ON gw.src = ow.src),
+        r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_wpr_iters}
         SELECT entity_id AS host, ROUND(pagerank, 6) AS pagerank FROM r10
     """
 

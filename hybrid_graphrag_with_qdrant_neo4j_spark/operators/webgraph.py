@@ -172,6 +172,19 @@ def domain_rank(hgraph: DataFrame, damping: float = 0.85,
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
 
+def domain_rank_weighted(hgraph: DataFrame, damping: float = 0.85,
+                         iterations: int = 10) -> DataFrame:
+    """(host, pagerank) with mass split ∝ n_links — a host linked 50×
+    outranks one linked once, where :func:`domain_rank` treats both
+    the same.  See graph_analytics.weighted_pagerank for the exact
+    iteration contract."""
+    r = graph_analytics.weighted_pagerank(
+        hgraph, src="src_host", dst="dst_host", weight="n_links",
+        damping=damping, iterations=iterations,
+    )
+    return r.select(F.col("entity_id").alias("host"), "pagerank")
+
+
 def domain_profile(pages: DataFrame, url_col: str = "url",
                    text_col: str = "text",
                    lang_col: str = "lang") -> DataFrame:

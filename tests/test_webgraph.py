@@ -159,6 +159,79 @@ def test_domain_rank_matches_python_pagerank(spark, pages_df):
     assert int(re.match(r"site(\d+)", top).group(1)) < 10
 
 
+def _py_weighted_pagerank(wpairs, iterations=10, damping=0.85):
+    """wpairs: {(src, dst): w} with duplicates pre-summed."""
+    nodes = sorted({h for p in wpairs for h in p})
+    outw = defaultdict(float)
+    for (s, _), w in wpairs.items():
+        outw[s] += w
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        mass = defaultdict(float)
+        for (s, d), w in sorted(wpairs.items()):
+            mass[d] += rank[s] * w / outw[s]
+        rank = {n: (1 - damping) + damping * mass.get(n, 0.0) for n in nodes}
+    return rank
+
+
+def test_weighted_domain_rank_matches_python_oracle(spark, pages_df):
+    rows = _oracle_rows()
+    wpairs = Counter()
+    for src, dst in _oracle_links(rows):
+        sh, dh = _HOST_RE.match(src).group(1), _HOST_RE.match(dst).group(1)
+        if sh != dh:
+            wpairs[(sh, dh)] += 1
+    want = _py_weighted_pagerank({k: float(v) for k, v in wpairs.items()})
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    got = {r["host"]: r["pagerank"] for r in WG.domain_rank_weighted(hg).collect()}
+    assert set(got) == set(want)
+    for n in want:
+        assert got[n] == pytest.approx(want[n], abs=1e-9)
+
+
+def test_weighted_pagerank_equal_weights_is_unweighted(spark):
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import graph_analytics as ga
+
+    edges = spark.createDataFrame(
+        [("a", "b", 7.0), ("b", "c", 7.0), ("c", "a", 7.0), ("a", "c", 7.0)],
+        "subj_id string, obj_id string, n_links double",
+    )
+    w = {r["entity_id"]: r["pagerank"]
+         for r in ga.weighted_pagerank(edges).collect()}
+    u = {r["entity_id"]: r["pagerank"]
+         for r in ga.pagerank(edges).collect()}
+    assert set(w) == set(u)
+    for k in u:
+        assert w[k] == pytest.approx(u[k], abs=1e-12)
+
+
+def test_weighted_pagerank_invariant_to_weight_row_split(spark):
+    """Duplicate (src,dst) rows are pre-summed: [(a,b,3)] == [(a,b,1)x3]."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import graph_analytics as ga
+
+    merged = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0)],
+        "subj_id string, obj_id string, n_links double",
+    )
+    split = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", 1.0), ("a", "b", 1.0),
+         ("a", "c", 1.0), ("b", "c", 2.0)],
+        "subj_id string, obj_id string, n_links double",
+    )
+    m = {r["entity_id"]: r["pagerank"]
+         for r in ga.weighted_pagerank(merged).collect()}
+    s = {r["entity_id"]: r["pagerank"]
+         for r in ga.weighted_pagerank(split).collect()}
+    assert m.keys() == s.keys()
+    for k in m:
+        assert m[k] == pytest.approx(s[k], abs=1e-12)
+    # and the weight actually matters: b gets 3/4 of a's mass, c only 1/4
+    assert m["b"] > m["c"] or m["c"] > 0  # sanity
+    heavier = ga.weighted_pagerank(merged, iterations=1).collect()
+    h = {r["entity_id"]: r["pagerank"] for r in heavier}
+    assert h["b"] == pytest.approx(0.15 + 0.85 * (1.0 * 3.0 / 4.0), abs=1e-12)
+
+
 def test_domain_profile_matches_oracle(spark, pages_df):
     from hybrid_graphrag_with_qdrant_neo4j_spark.functions import text_quality as TQ
 
