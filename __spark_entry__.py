@@ -1269,6 +1269,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_profile"] = web_domain_profile
 
+    def web_url_dedup(spark, sf):
+        """Normalized-url dedup groups over the corpus urls plus
+        PLANTED crawl-record variants (fragment / upper-cased
+        scheme+host / explicit :443) — without planting, every group is
+        size 1 and the check is vacuous.  Variant construction is the
+        same deterministic string surgery on both sides."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        base = _kg(spark, "pages").select("url")
+        v1 = base.filter(F.col("url").endswith("0")).select(
+            F.concat(F.col("url"), F.lit("#frag")).alias("url")
+        )
+        v2 = base.filter(F.col("url").endswith("1")).select(
+            F.regexp_replace("url", "^https://site", "HTTPS://SITE").alias("url")
+        )
+        v3 = base.filter(F.col("url").endswith("2")).select(
+            F.regexp_replace("url", r"\.example/", ".example:443/").alias("url")
+        )
+        allu = base.unionByName(v1).unionByName(v2).unionByName(v3)
+        return WG.url_dedup_groups(allu)
+
+    q["web_url_dedup"] = web_url_dedup
+
     # ---------------- temporal provenance (warc_ts axis) ----------------
 
     def kg_edge_history(spark, sf):
@@ -2708,6 +2731,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(SUM(CAST(n AS BIGINT)) AS DOUBLE) / COUNT(*)
                  AS mean_tokens
         FROM r GROUP BY host
+    """
+
+    # normalized-url dedup: same planted variants, same regexp chain
+    # (DuckDB backrefs are \1 where Spark uses $1 — semantics identical;
+    # neither engine needs the 'g' flag here: every pattern is anchored
+    # or single-occurrence)
+    sqls["web_url_dedup"] = f"""
+        WITH base AS (SELECT url FROM {_kg_pq("pages")}),
+        allu AS (
+          SELECT url FROM base
+          UNION ALL
+          SELECT url || '#frag' FROM base WHERE url LIKE '%0'
+          UNION ALL
+          SELECT regexp_replace(url, '^https://site', 'HTTPS://SITE')
+          FROM base WHERE url LIKE '%1'
+          UNION ALL
+          SELECT regexp_replace(url, '\\.example/', '.example:443/')
+          FROM base WHERE url LIKE '%2'
+        ),
+        u0 AS (
+          SELECT url, regexp_replace(url, '#.*$', '') AS uf FROM allu
+        ),
+        hp AS (
+          SELECT url,
+                 lower(regexp_extract(uf,
+                   '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)) AS head,
+                 regexp_replace(uf,
+                   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '') AS tail
+          FROM u0
+        ),
+        n AS (
+          SELECT url,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(head, '^(http://[^/:]+):80$', '\\1'),
+                     '^(https://[^/:]+):443$', '\\1')
+                   || tail, '/$', '') AS norm_url
+          FROM hp
+        )
+        SELECT norm_url, COUNT(*) AS n_records,
+               COUNT(DISTINCT url) AS n_distinct_urls
+        FROM n GROUP BY norm_url
     """
 
     # -------- temporal provenance: warc_ts joins over the KG snapshots ------

@@ -172,6 +172,43 @@ def domain_rank(hgraph: DataFrame, damping: float = 0.85,
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
 
+def normalize_url(url_col) -> Column:
+    """Crawl-canonical url form: strip the fragment, lowercase the
+    scheme+host (never the path — paths are case-significant), drop the
+    scheme's default port (:80 http / :443 https), drop one trailing
+    slash.  Two crawl records of 'HTTPS://Site.Example:443/p#x' and
+    'https://site.example/p' normalize to the same key — the exact-dedup
+    identity a re-fetch pipeline groups on BEFORE content hashing.
+
+    Pure whole-stage-codegen regexp chain (no UDF); the DuckDB twin
+    runs the same RE2 patterns (replacement backref syntax differs,
+    $1 vs \\1 — semantics identical).
+    """
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    u = F.regexp_replace(c, r"#.*$", "")
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+    head = F.regexp_replace(head, r"^(http://[^/:]+):80$", "$1")
+    head = F.regexp_replace(head, r"^(https://[^/:]+):443$", "$1")
+    return F.regexp_replace(F.concat(head, tail), r"/$", "")
+
+
+def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
+    """(norm_url, n_records, n_distinct_urls) per normalized url — the
+    crawl-record grouping that collapses fragment/port/case variants of
+    one resource.  One hash groupBy on the normalized key; map-side
+    partials absorb per-partition variant mass."""
+    return (
+        pages.select(normalize_url(url_col).alias("norm_url"),
+                     F.col(url_col).alias("_u"))
+        .groupBy("norm_url")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.countDistinct("_u").alias("n_distinct_urls"),
+        )
+    )
+
+
 def domain_rank_weighted(hgraph: DataFrame, damping: float = 0.85,
                          iterations: int = 10) -> DataFrame:
     """(host, pagerank) with mass split ∝ n_links — a host linked 50×

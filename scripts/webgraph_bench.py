@@ -111,8 +111,15 @@ def _inner(cpus: int, pages_path: str) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, pages_path: str, max_tries: int = 3) -> dict:
-    last = None
+def run_level(cpus: int, pages_path: str, max_tries: int | None = None) -> dict:
+    """Run one pinned level, retrying through steal episodes.  Returns
+    the first steal-clean attempt, else the FASTEST dirty attempt
+    (steal only ever inflates a wall time, so min-of-attempts is the
+    conservative closest-to-true number — keeping the last attempt
+    recorded a 47k-tick episode as the level's time once)."""
+    if max_tries is None:
+        max_tries = int(os.environ.get("SPARK_GRAFT_BENCH_TRIES", "3"))
+    best = None
     for _ in range(1, max_tries + 1):
         s0 = _steal()
         cmd = [
@@ -126,7 +133,8 @@ def run_level(cpus: int, pages_path: str, max_tries: int = 3) -> dict:
         steal = _steal() - s0
         out = json.loads(out_txt[-1])
         out["steal_ticks"] = steal
-        last = out
+        if best is None or out["corpus_bound_sec"] < best["corpus_bound_sec"]:
+            best = out
         print(f"[cpus={cpus}] total={out['total_sec']}s "
               f"pages/s={out['pages_per_sec']} steal={steal}",
               file=sys.stderr)
@@ -134,7 +142,8 @@ def run_level(cpus: int, pages_path: str, max_tries: int = 3) -> dict:
             return out
         print(f"[cpus={cpus}] steal {steal} > {STEAL_LIMIT}: retrying",
               file=sys.stderr)
-    return last
+    best["steal_dirty"] = True
+    return best
 
 
 def main() -> None:

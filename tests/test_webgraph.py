@@ -232,6 +232,40 @@ def test_weighted_pagerank_invariant_to_weight_row_split(spark):
     assert h["b"] == pytest.approx(0.15 + 0.85 * (1.0 * 3.0 / 4.0), abs=1e-12)
 
 
+def test_normalize_url_contract(spark):
+    cases = [
+        ("HTTPS://Site.Example:443/Path/To#frag", "https://site.example/Path/To"),
+        ("http://a.example:80/x", "http://a.example/x"),
+        ("http://a.example:8080/x", "http://a.example:8080/x"),  # non-default kept
+        ("https://a.example/p/", "https://a.example/p"),
+        ("https://a.example/", "https://a.example"),
+        ("https://a.example/P", "https://a.example/P"),  # path case kept
+        ("https://a.example:443", "https://a.example"),
+        ("ftp://A.Example/f", "ftp://a.example/f"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in df.select(WG.normalize_url("url").alias("n")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_groups_counts(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://a.example/p",),
+            ("https://a.example/p#x",),
+            ("HTTPS://A.example:443/p",),
+            ("https://b.example/q",),
+        ],
+        "url string",
+    )
+    got = {r["norm_url"]: (r["n_records"], r["n_distinct_urls"])
+           for r in WG.url_dedup_groups(df).collect()}
+    assert got == {
+        "https://a.example/p": (3, 3),
+        "https://b.example/q": (1, 1),
+    }
+
+
 def test_domain_profile_matches_oracle(spark, pages_df):
     from hybrid_graphrag_with_qdrant_neo4j_spark.functions import text_quality as TQ
 
