@@ -948,6 +948,7 @@ def prune_kg(
     where: str | None = None,
     min_quality: float | None = None,
     keep_lang: str | None = None,
+    min_host_quality: float | None = None,
     batch_id: str | None = None,
     dry_run: bool = False,
 ) -> dict:
@@ -968,7 +969,12 @@ def prune_kg(
         n_tokens`` (functions.text_quality — the same columns the
         ``curated_corpus`` query exposes pre-ingest);
       * ``min_quality``  — drop docs with ``quality < min_quality``;
-      * ``keep_lang``    — drop docs with ``pred_lang != keep_lang``.
+      * ``keep_lang``    — drop docs with ``pred_lang != keep_lang``;
+      * ``min_host_quality`` — drop EVERY doc of a host whose mean
+        quality sits below the threshold (the domain_profile signal:
+        content farms are host-shaped, not page-shaped — one great page
+        on a spam host is still a crawl-policy victim).  Needs one extra
+        host-keyed aggregate + join over the same pruned scan.
 
     Victim selection is ONE pruned scan of the ``text`` snapshot (the
     curation columns are whole-stage-codegen expressions, no UDF); the
@@ -992,13 +998,18 @@ def prune_kg(
     """
     from ..functions import text_quality as TQ
 
-    if where is None and min_quality is None and keep_lang is None:
-        raise ValueError("prune_kg needs at least one of where / min_quality / keep_lang")
+    if (where is None and min_quality is None and keep_lang is None
+            and min_host_quality is None):
+        raise ValueError(
+            "prune_kg needs at least one of where / min_quality / "
+            "keep_lang / min_host_quality"
+        )
     text_path = _data_path(kg_dir, "text")
     if not os.path.isdir(text_path):
         raise FileNotFoundError(f"no text snapshot under {kg_dir!r} — build the KG first")
 
-    selector = {"where": where, "min_quality": min_quality, "keep_lang": keep_lang}
+    selector = {"where": where, "min_quality": min_quality,
+                "keep_lang": keep_lang, "min_host_quality": min_host_quality}
     if batch_id is None:
         import hashlib
 
@@ -1016,6 +1027,17 @@ def prune_kg(
             "n_tokens": TQ.token_count(c),
         }
     )
+    if min_host_quality is not None:
+        from ..operators import webgraph as WG
+
+        host_means = (
+            docs.select(WG.host_of("url").alias("_host"), "quality")
+            .groupBy("_host")
+            .agg(F.avg("quality").alias("_host_quality"))
+        )
+        docs = docs.withColumn("_host", WG.host_of("url")).join(
+            host_means, "_host", "left"
+        )
     drop = F.lit(False)
     if where is not None:
         drop = drop | F.expr(where)
@@ -1023,6 +1045,8 @@ def prune_kg(
         drop = drop | (F.col("quality") < F.lit(float(min_quality)))
     if keep_lang is not None:
         drop = drop | (F.col("pred_lang") != F.lit(keep_lang))
+    if min_host_quality is not None:
+        drop = drop | (F.col("_host_quality") < F.lit(float(min_host_quality)))
     victims = docs.filter(drop).select("doc_id", "url", "lang").localCheckpoint()
     n_victims = victims.count()
 

@@ -827,6 +827,9 @@ def main() -> None:
                     help="drop docs with quality < this")
     pr.add_argument("--keep-lang", default=None,
                     help="drop docs whose predicted language differs")
+    pr.add_argument("--min-host-quality", type=float, default=None,
+                    help="drop EVERY doc of a host whose mean quality "
+                    "is below this (content farms are host-shaped)")
     pr.add_argument("--batch-id", default=None,
                     help="ledger id (default: hash of the selector — "
                     "re-running the same prune is a no-op)")
@@ -972,6 +975,7 @@ def main() -> None:
                 where=args.where,
                 min_quality=args.min_quality,
                 keep_lang=args.keep_lang,
+                min_host_quality=args.min_host_quality,
                 batch_id=args.batch_id,
                 dry_run=args.dry_run,
             ),

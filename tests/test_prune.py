@@ -225,3 +225,53 @@ def test_pruned_url_can_reingest_via_append(spark, tmp_path):
     assert re_crawl["n_pages"] == 1
     urls = {r["url"] for r in spark.read.parquet(f"{kg}/text/data").collect()}
     assert "https://spam.example/x" in urls
+
+
+def test_prune_min_host_quality_drops_whole_hosts(spark, tmp_path_factory):
+    """Host-level curation: every doc of a below-threshold host drops
+    (even its individually good pages), every doc of an above-threshold
+    host survives (even its individually bad pages)."""
+    from pyspark.sql import functions as F
+
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.functions import text_quality as TQ
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+    out = str(tmp_path_factory.mktemp("kg_hostq"))
+    pages = corpus.pages_spark_df(spark, 40, partitions=4)
+    build_kg(spark, pages, out, input_fingerprint="hostq:40")
+
+    text = spark.read.parquet(os.path.join(out, "text", "data"))
+    host_means = {
+        r["host"]: r["mq"]
+        for r in text.select(
+            WG.host_of("url").alias("host"),
+            TQ.quality_score(F.col("text")).alias("q"),
+        )
+        .groupBy("host")
+        .agg(F.avg("q").alias("mq"))
+        .collect()
+    }
+    means = sorted(host_means.values())
+    tau = means[len(means) // 2]  # median: some hosts drop, some stay
+    bad_hosts = {h for h, m in host_means.items() if m < tau}
+    assert bad_hosts and len(bad_hosts) < len(host_means)
+
+    dry = prune_kg(spark, out, min_host_quality=tau, dry_run=True)
+    urls_by_host = {
+        r["url"]: r["h"]
+        for r in text.select("url", WG.host_of("url").alias("h")).collect()
+    }
+    want_n = sum(1 for u, h in urls_by_host.items() if h in bad_hosts)
+    assert dry["n_docs_dropped"] == want_n
+
+    got = prune_kg(spark, out, min_host_quality=tau)
+    assert got["n_docs_pruned"] == want_n
+    survivors = spark.read.parquet(os.path.join(out, "text", "data"))
+    left_hosts = {
+        r["h"] for r in survivors.select(WG.host_of("url").alias("h")).collect()
+    }
+    assert left_hosts == set(host_means) - bad_hosts
+    # replay of the same selector is a ledger no-op
+    again = prune_kg(spark, out, min_host_quality=tau)
+    assert again.get("skipped") is True
