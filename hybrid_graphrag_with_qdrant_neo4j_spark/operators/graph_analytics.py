@@ -5,8 +5,12 @@ and label-propagation community detection.
 The reference stores its graph in Neo4j, where these questions are
 Cypher one-liners over a single-node store (e.g. ``MATCH (e)-[r]->()
 RETURN e, count(r)``); an analytics engine over a distributed edge
-DataFrame needs them as first-class operators.  Both are pure
-DataFrame compositions — no UDFs, no driver-side iteration over data:
+DataFrame needs them as first-class operators.  All are pure
+DataFrame compositions — no UDFs, no unbounded driver-side data (the
+rank operators offer an OPT-IN ``local_under`` gate that collects a
+bounded small-graph edge list and iterates in numpy, the same
+scale-adaptive dispatch operators/linking uses — 10 iterations over a
+97-node host graph are otherwise ~20 scheduler rounds of constants):
 
 - :func:`degree_centrality` is two shuffle-free partial aggregations
   joined on the entity id.
@@ -86,6 +90,41 @@ def _iteration_contribs(ge: DataFrame, ranks: DataFrame) -> DataFrame:
     )
 
 
+def _local_rank_rows(spark, pairs, weights, damping, iterations, id_type):
+    """Driver-local PageRank over a collected (bounded) edge list —
+    same iteration contract as the distributed loop; numpy accumulation
+    instead of 2·iterations scheduler rounds.  ``weights`` is None for
+    the unweighted form, else a float list aligned with ``pairs``."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    nodes = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    srcs = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dsts = np.array([idx[d] for _, d in pairs], dtype=np.int64)
+    if weights is None:
+        w = np.ones(len(pairs))
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+    outw = np.zeros(len(nodes))
+    np.add.at(outw, srcs, w)
+    r = np.ones(len(nodes))
+    for _ in range(iterations):
+        contrib = r[srcs] * w / outw[srcs]
+        mass = np.zeros(len(nodes))
+        np.add.at(mass, dsts, contrib)
+        r = (1.0 - damping) + damping * mass
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", id_type, True),
+            T.StructField("pagerank", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, float(r[idx[n]])) for n in nodes], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj_id",
@@ -93,18 +132,41 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    local_under: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over DISTINCT directed edges.
 
     Returns (entity_id, pagerank).  See the module docstring for the
     exact iteration contract (un-normalized GraphX form, dangling mass
     dropped, rank_0 = 1.0).
+
+    ``local_under``: scale-adaptive dispatch (same design as
+    operators/linking's driver path under 10k entities).  When set and
+    the DISTINCT edge list fits under it, the edges are collected ONCE
+    (a bounded limit(n+1) probe, never an unbounded collect) and the
+    iteration runs driver-local in numpy: 10 iterations over a tiny
+    graph otherwise cost ~20 scheduler rounds of pure constants (~10-20s
+    for a 97-node host graph).  Values agree with the distributed loop
+    to float reduction order (consumers compare at 6dp — module
+    docstring); above the gate the distributed loop runs unchanged.
     """
     g = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .persist()
     )
+    if local_under:
+        head = g.limit(local_under + 1).collect()
+        if len(head) <= local_under:
+            g.unpersist()
+            return _local_rank_rows(
+                edges.sparkSession,
+                [(r["src"], r["dst"]) for r in head],
+                None,
+                damping,
+                iterations,
+                g.schema["src"].dataType,
+            )
     nodes = (
         g.select(F.col("src").alias("entity_id"))
         .unionByName(g.select(F.col("dst").alias("entity_id")))
@@ -150,6 +212,7 @@ def weighted_pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    local_under: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank with edge-weight-proportional mass
     split: r_{k+1}(v) = (1-d) + d·Σ_{u→v} r_k(u)·w(u,v)/W(u), where
@@ -176,6 +239,18 @@ def weighted_pagerank(
         .agg(F.sum("_w").alias("_w"))
         .persist()
     )
+    if local_under:
+        head = g.limit(local_under + 1).collect()
+        if len(head) <= local_under:
+            g.unpersist()
+            return _local_rank_rows(
+                edges.sparkSession,
+                [(r["src"], r["dst"]) for r in head],
+                [r["_w"] for r in head],
+                damping,
+                iterations,
+                g.schema["src"].dataType,
+            )
     nodes = (
         g.select(F.col("src").alias("entity_id"))
         .unionByName(g.select(F.col("dst").alias("entity_id")))

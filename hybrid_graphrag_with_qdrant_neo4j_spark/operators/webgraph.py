@@ -159,15 +159,22 @@ def host_graph(links: DataFrame, drop_self: bool = True) -> DataFrame:
 
 
 def domain_rank(hgraph: DataFrame, damping: float = 0.85,
-                iterations: int = 10) -> DataFrame:
+                iterations: int = 10,
+                local_under: int | None = 50_000) -> DataFrame:
     """(host, pagerank) — PageRank over the distinct host pairs of a
     :func:`host_graph`.  Same contract as graph_analytics.pagerank
     (GraphX un-normalized form, dangling mass dropped); link
     multiplicity is ignored — an unweighted authority rank, which is
-    what crawl frontier scoring conventionally uses."""
+    what crawl frontier scoring conventionally uses.
+
+    ``local_under=50_000`` host-pair edges by default: a host graph is
+    orders of magnitude smaller than its corpus, so small/medium crawls
+    rank driver-local (numpy) instead of paying ~20 scheduler rounds;
+    a crawl with more cross-host pairs than the gate runs the
+    distributed loop unchanged."""
     r = graph_analytics.pagerank(
         hgraph, src="src_host", dst="dst_host",
-        damping=damping, iterations=iterations,
+        damping=damping, iterations=iterations, local_under=local_under,
     )
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
@@ -210,14 +217,15 @@ def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def domain_rank_weighted(hgraph: DataFrame, damping: float = 0.85,
-                         iterations: int = 10) -> DataFrame:
+                         iterations: int = 10,
+                         local_under: int | None = 50_000) -> DataFrame:
     """(host, pagerank) with mass split ∝ n_links — a host linked 50×
     outranks one linked once, where :func:`domain_rank` treats both
     the same.  See graph_analytics.weighted_pagerank for the exact
-    iteration contract."""
+    iteration contract; ``local_under`` as in :func:`domain_rank`."""
     r = graph_analytics.weighted_pagerank(
         hgraph, src="src_host", dst="dst_host", weight="n_links",
-        damping=damping, iterations=iterations,
+        damping=damping, iterations=iterations, local_under=local_under,
     )
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 

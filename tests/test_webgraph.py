@@ -232,6 +232,42 @@ def test_weighted_pagerank_invariant_to_weight_row_split(spark):
     assert h["b"] == pytest.approx(0.15 + 0.85 * (1.0 * 3.0 / 4.0), abs=1e-12)
 
 
+def test_pagerank_local_path_equals_distributed(spark, monkeypatch):
+    """The local_under numpy fast path and the distributed loop agree
+    to float reduction order on a random-ish digraph, for both the
+    unweighted and weighted operators; the gate dispatches local only
+    when the edge list fits under it."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import graph_analytics as ga
+
+    pairs = [(f"n{(i * 7) % 23}", f"n{(i * i) % 23}", float(1 + i % 5))
+             for i in range(60)]
+    edges = spark.createDataFrame(
+        pairs, "subj_id string, obj_id string, n_links double"
+    )
+    for fn, kw in ((ga.pagerank, {}), (ga.weighted_pagerank, {})):
+        loc = {r["entity_id"]: r["pagerank"]
+               for r in fn(edges, local_under=10_000, **kw).collect()}
+        dist = {r["entity_id"]: r["pagerank"]
+                for r in fn(edges, local_under=None, **kw).collect()}
+        assert loc.keys() == dist.keys()
+        for k in loc:
+            assert loc[k] == pytest.approx(dist[k], abs=1e-9)
+    # gate dispatch: local path taken iff the edge list fits under it
+    calls = []
+    orig = ga._local_rank_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ga, "_local_rank_rows", spy)
+    ga.pagerank(edges, local_under=10_000).collect()
+    assert calls, "under-gate graph must take the numpy path"
+    calls.clear()
+    ga.pagerank(edges, local_under=1).collect()
+    assert not calls, "over-gate graph must run the distributed loop"
+
+
 def test_normalize_url_contract(spark):
     cases = [
         ("HTTPS://Site.Example:443/Path/To#frag", "https://site.example/Path/To"),
