@@ -1292,6 +1292,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_url_dedup"] = web_url_dedup
 
+    def web_host_communities(spark, sf):
+        """Web communities: 5-iteration synchronous LPA over the
+        undirected distinct host pairs — link neighborhoods a crawl
+        sampler balances across (same operator + contract as
+        kg_entity_communities, applied to the domain graph)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+            webgraph as WG,
+        )
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        return graph_analytics.label_propagation(
+            hg, src="src_host", dst="dst_host"
+        ).select(F.col("entity_id").alias("host"), "label")
+
+    q["web_host_communities"] = web_host_communities
+
     # ---------------- temporal provenance (warc_ts axis) ----------------
 
     def kg_edge_history(spark, sf):
@@ -2866,6 +2884,16 @@ def oracle_sql() -> dict[str, str]:
         lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
         l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters}
         SELECT entity_id, label FROM l5
+    """
+
+    # same LPA chain over the web domain graph (web communities)
+    sqls["web_host_communities"] = f"""
+        WITH {_web_hosts_cte},
+        g0 AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg),
+        und AS (SELECT src, dst FROM g0 UNION SELECT dst, src FROM g0),
+        lpnodes AS (SELECT DISTINCT src AS entity_id FROM und),
+        l0 AS (SELECT entity_id, entity_id AS label FROM lpnodes){_lpa_iters}
+        SELECT entity_id AS host, label FROM l5
     """
 
     # 10-iteration personalized PageRank, unrolled (same contract as
