@@ -91,6 +91,33 @@ def _bump_manifest(out_dir: str, stage: str, batch_id: str, n_rows_delta: int) -
     os.replace(path + ".tmp", path)
 
 
+def _replace_snapshot(df: DataFrame, kg_dir: str, stage: str,
+                      partition_by=None) -> None:
+    """Atomically replace a stage's data dir with ``df`` (write to a
+    side dir, two-rename swap) — the write-new twin of
+    ``ann_index._swap_dirs``'s rewrite-in-place, with the same
+    crash-window self-healing preamble: a run killed between the
+    renames leaves ``__old`` restorable, killed mid-write leaves
+    ``__new`` deletable.  ``df`` must be materialized (localCheckpoint)
+    when its lineage READS the dir being replaced."""
+    import shutil
+
+    data = _data_path(kg_dir, stage)
+    tmp, old = data + "__new", data + "__old"
+    if not os.path.isdir(data) and os.path.isdir(old):
+        os.rename(old, data)  # prior swap died between the renames
+    for d in (tmp, old):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    os.rename(data, old)
+    os.rename(tmp, data)
+    shutil.rmtree(old)
+
+
 def _ledger_path(kg_dir: str) -> str:
     return os.path.join(kg_dir, "_applied_batches.jsonl")
 
@@ -781,6 +808,43 @@ def append_batch(
                 id_col=id_col,
             )
         stats["ann_index_appended"] = True
+
+    # ---- 6. web link-graph maintenance -------------------------------
+    # Link counts are ADDITIVE crawl observations: merge the surviving
+    # batch pages' host pairs into the host_graph snapshot (one small
+    # union+groupBy; the table is |host pairs|-sized, not corpus-sized)
+    # and recompute domain_rank from the merged graph (scale-adaptive —
+    # driver-local numpy under the gate).  Replace/prune never subtract:
+    # a curated-away page was still crawled and its links are evidence.
+    stats["webgraph_appended"] = False
+    if stats["n_pages"] > 0 and os.path.isdir(_data_path(kg_dir, "host_graph")):
+        from ..operators import webgraph as WG
+
+        kept_pages = new_pages.join(
+            text_b.select("url"), "url", "left_semi"
+        )
+        hg_b = WG.host_graph(WG.resolved_links(WG.outlinks(kept_pages)))
+        old_hg = spark.read.parquet(_data_path(kg_dir, "host_graph"))
+        n_old = old_hg.count()
+        merged = (
+            old_hg.unionByName(hg_b)
+            .groupBy("src_host", "dst_host")
+            .agg(F.sum("n_links").alias("n_links"))
+            .localCheckpoint()
+        )
+        _replace_snapshot(merged, kg_dir, "host_graph")
+        _bump_manifest(kg_dir, "host_graph", batch_id, merged.count() - n_old)
+        if os.path.isdir(_data_path(kg_dir, "domain_rank")):
+            old_rank = spark.read.parquet(_data_path(kg_dir, "domain_rank"))
+            n_rank_old = old_rank.count()
+            rank = WG.domain_rank(
+                spark.read.parquet(_data_path(kg_dir, "host_graph"))
+            ).localCheckpoint()
+            _replace_snapshot(rank, kg_dir, "domain_rank")
+            _bump_manifest(
+                kg_dir, "domain_rank", batch_id, rank.count() - n_rank_old
+            )
+        stats["webgraph_appended"] = True
 
     for df in (chunks_b, triples_b, emb_b, batch_ents, new_ents, relabel,
                terms_b, mentions_b):

@@ -118,6 +118,7 @@ def build_kg(
     ann_k: int = 64,
     ann_bits: int = 8,
     ann_tables: int = 4,
+    webgraph: bool = False,
 ) -> KGBuildResult:
     """Run (or resume) the full pipeline; returns all materialized tables.
 
@@ -149,6 +150,24 @@ def build_kg(
     # triple stages then PRUNE non-en files at the scan — at 10^12 docs
     # the NER/triple extraction never opens the ~10% non-en bytes
     text_df = stage("text", fp_pages, compute_text, partition_by=["lang"])
+
+    if webgraph:
+        # link-graph stages over the SAME raw pages input (one extra
+        # scan of the html bytes — the text stage's schema/fingerprint
+        # stays untouched so existing KGs never invalidate).  Contract:
+        # these tables hold CRAWL OBSERVATIONS — append_batch merges new
+        # link counts additively, and prune/replace do NOT subtract (a
+        # curated-away page was still crawled; its links are evidence).
+        from ..operators import webgraph as WG
+
+        fp_hg = _fp("host_graph", fp_pages)
+        hg_df = stage(
+            "host_graph",
+            fp_hg,
+            lambda: WG.host_graph(WG.resolved_links(WG.outlinks(pages))),
+        )
+        fp_rank = _fp("domain_rank", fp_hg)
+        stage("domain_rank", fp_rank, lambda: WG.domain_rank(hg_df))
 
     fp_chunks = _fp("chunks", fp_pages, max_tokens)
     chunks_df = stage(

@@ -711,6 +711,12 @@ def main() -> None:
         "queries against this KG then read a partition-pruned scan "
         "(reference: Qdrant index built at upsert)",
     )
+    proc.add_argument(
+        "--webgraph",
+        action="store_true",
+        help="also materialize the web link graph as resumable stages "
+        "(host_graph + domain_rank; append-maintained, additive counts)",
+    )
     proc.add_argument("--ann-k", type=int, default=64, help="IVF centroid count")
     proc.add_argument("--ann-bits", type=int, default=8, help="LSH code bits")
     proc.add_argument("--ann-tables", type=int, default=4, help="LSH hash tables")
@@ -1057,6 +1063,7 @@ def main() -> None:
         ann_k=args.ann_k,
         ann_bits=args.ann_bits,
         ann_tables=args.ann_tables,
+        webgraph=args.webgraph,
     )
     elapsed = time.perf_counter() - t0
     summary = {

@@ -377,6 +377,55 @@ def test_cli_webgraph_verb(spark, tmp_path_factory, monkeypatch, capsys):
     assert spark.read.parquet(f"{out}/domain_profile.parquet").count() == got["n_hosts"]
 
 
+def test_build_kg_webgraph_stages_resume_and_append_merge(spark, tmp_path_factory):
+    """webgraph=True materializes host_graph + domain_rank as resumable
+    stages; append_batch merges new link counts additively so the
+    merged snapshot equals a fresh host graph over the concatenated
+    corpus, and the rank snapshot equals the rank of the merged graph."""
+    import os
+
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.incremental import (
+        append_batch,
+    )
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    out = str(tmp_path_factory.mktemp("kg_wg"))
+    pages1 = corpus.pages_spark_df(spark, 30, partitions=4)
+    r = build_kg(spark, pages1, out, input_fingerprint="wg:30", webgraph=True)
+    assert "host_graph" in r.tables and "domain_rank" in r.tables
+    assert r.tables["host_graph"].count() > 0
+
+    r2 = build_kg(spark, pages1, out, input_fingerprint="wg:30", webgraph=True)
+    assert "host_graph" in r2.resumed_stages
+    assert "domain_rank" in r2.resumed_stages
+
+    pages2 = corpus.pages_spark_df(spark, 12, partitions=2, start=30)
+    stats = append_batch(spark, out, pages2, batch_id="wg-b1")
+    assert stats["webgraph_appended"] is True
+
+    merged = spark.read.parquet(os.path.join(out, "host_graph", "data"))
+    both = pages1.unionByName(pages2)
+    want = WG.host_graph(WG.resolved_links(WG.outlinks(both)))
+    got_set = {(r["src_host"], r["dst_host"], r["n_links"])
+               for r in merged.collect()}
+    want_set = {(r["src_host"], r["dst_host"], r["n_links"])
+                for r in want.collect()}
+    assert got_set == want_set
+
+    rank_snap = {r["host"]: r["pagerank"]
+                 for r in spark.read.parquet(
+                     os.path.join(out, "domain_rank", "data")).collect()}
+    rank_want = {r["host"]: r["pagerank"]
+                 for r in WG.domain_rank(merged).collect()}
+    assert rank_snap.keys() == rank_want.keys()
+    for k in rank_want:
+        assert rank_snap[k] == pytest.approx(rank_want[k], abs=1e-9)
+
+    # replayed batch is a ledger no-op (snapshot untouched)
+    again = append_batch(spark, out, pages2, batch_id="wg-b1")
+    assert again.get("skipped") is True
+
+
 def test_page_links_deterministic_and_independent_of_body_stream():
     a = corpus.page_row(7)
     b = corpus.page_row(7)
