@@ -93,6 +93,9 @@ _TYPE_CANON = {
     "string": "str", "VARCHAR": "str",
     "boolean": "bool", "BOOLEAN": "bool",
     "date": "date", "DATE": "date",
+    # both convert to pandas datetime64; str() forms match to the second
+    # (the temporal queries carry whole-second warc_ts values)
+    "timestamp": "ts", "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
 }
 
 
