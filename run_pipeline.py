@@ -109,6 +109,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  batch <file> - Answer every query in <file> (one per"
                   " line) as ONE job")
             print("  analytics [N] - Top-N entities by PageRank + degrees")
+            print("  domains [N] - Top-N hosts by domain PageRank "
+                  "(webgraph-staged KG)")
             print("  ppr <entity> - Entities near <entity> (personalized"
                   " PageRank)")
             print("  global <question> - Community-level context chunks"
@@ -151,6 +153,32 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
                     f"  {r['entity_id']}: rank={r['pagerank']:.4f} "
                     f"in={r['in_degree']} out={r['out_degree']}"
                 )
+            continue
+        if low == "domains" or low.startswith("domains "):
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            parts = user_input.split()
+            try:
+                top_n = int(parts[1]) if len(parts) > 1 else 10
+            except ValueError:
+                print("Usage: domains [N]")
+                continue
+            rank_dir = _os.path.join(args.kg_dir, "domain_rank", "data")
+            if not _os.path.isdir(rank_dir):
+                print("No domain_rank stage in this KG "
+                      "(build with process --webgraph).")
+                continue
+            rows = (
+                rag.spark.read.parquet(rank_dir)
+                .orderBy(F.desc("pagerank"), F.asc("host"))
+                .limit(top_n)
+                .collect()
+            )
+            print(f"\nTop {len(rows)} hosts by domain PageRank:")
+            for r in rows:
+                print(f"  {r['host']}: {r['pagerank']:.4f}")
             continue
         if low.startswith("ppr "):
             from pyspark.sql import functions as F

@@ -426,6 +426,38 @@ def test_build_kg_webgraph_stages_resume_and_append_merge(spark, tmp_path_factor
     assert again.get("skipped") is True
 
 
+def test_interactive_domains_command(spark, tmp_path_factory, monkeypatch, capsys):
+    """REPL `domains [N]`: top hosts by domain rank on a webgraph-staged
+    KG; an unstaged KG gets the build hint, not a crash."""
+    import run_pipeline
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.pipeline import build_kg
+
+    staged = str(tmp_path_factory.mktemp("kg_dom"))
+    pages = corpus.pages_spark_df(spark, 25, partitions=4)
+    build_kg(spark, pages, staged, input_fingerprint="dom:25", webgraph=True)
+    plain = str(tmp_path_factory.mktemp("kg_plain"))
+    build_kg(spark, pages, plain, input_fingerprint="dom:25")
+
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    script = iter(["domains 3", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", staged]
+    )
+    run_pipeline.main()
+    out = capsys.readouterr().out
+    assert "hosts by domain PageRank:" in out and "site" in out
+
+    script2 = iter(["domains", "exit"])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(script2))
+    monkeypatch.setattr(
+        "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", plain]
+    )
+    run_pipeline.main()
+    out2 = capsys.readouterr().out
+    assert "No domain_rank stage" in out2
+
+
 def test_page_links_deterministic_and_independent_of_body_stream():
     a = corpus.page_row(7)
     b = corpus.page_row(7)
