@@ -2785,7 +2785,7 @@ def oracle_sql() -> dict[str, str]:
                    regexp_replace(
                      regexp_replace(head, '^(http://[^/:]+):80$', '\\1'),
                      '^(https://[^/:]+):443$', '\\1')
-                   || tail, '/$', '') AS norm_url
+                   || tail, '/+$', '') AS norm_url
           FROM hp
         )
         SELECT norm_url, COUNT(*) AS n_records,

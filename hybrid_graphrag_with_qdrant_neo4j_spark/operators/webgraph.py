@@ -182,10 +182,13 @@ def domain_rank(hgraph: DataFrame, damping: float = 0.85,
 def normalize_url(url_col) -> Column:
     """Crawl-canonical url form: strip the fragment, lowercase the
     scheme+host (never the path — paths are case-significant), drop the
-    scheme's default port (:80 http / :443 https), drop one trailing
-    slash.  Two crawl records of 'HTTPS://Site.Example:443/p#x' and
-    'https://site.example/p' normalize to the same key — the exact-dedup
-    identity a re-fetch pipeline groups on BEFORE content hashing.
+    scheme's default port (:80 http / :443 https), drop the trailing
+    slash RUN (the whole run, not one slash — single-slash stripping is
+    not idempotent on 'https://a.example//', found by the seeded
+    property sweep).  Two crawl records of 'HTTPS://Site.Example:443/p#x'
+    and 'https://site.example/p' normalize to the same key — the
+    exact-dedup identity a re-fetch pipeline groups on BEFORE content
+    hashing.
 
     Pure whole-stage-codegen regexp chain (no UDF); the DuckDB twin
     runs the same RE2 patterns (replacement backref syntax differs,
@@ -197,7 +200,7 @@ def normalize_url(url_col) -> Column:
     tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
     head = F.regexp_replace(head, r"^(http://[^/:]+):80$", "$1")
     head = F.regexp_replace(head, r"^(https://[^/:]+):443$", "$1")
-    return F.regexp_replace(F.concat(head, tail), r"/$", "")
+    return F.regexp_replace(F.concat(head, tail), r"/+$", "")
 
 
 def url_dedup_groups(pages: DataFrame, url_col: str = "url") -> DataFrame:

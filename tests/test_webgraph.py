@@ -275,6 +275,7 @@ def test_normalize_url_contract(spark):
         ("http://a.example:8080/x", "http://a.example:8080/x"),  # non-default kept
         ("https://a.example/p/", "https://a.example/p"),
         ("https://a.example/", "https://a.example"),
+        ("https://a.example//", "https://a.example"),  # whole trailing run
         ("https://a.example/P", "https://a.example/P"),  # path case kept
         ("https://a.example:443", "https://a.example"),
         ("ftp://A.Example/f", "ftp://a.example/f"),
@@ -282,6 +283,45 @@ def test_normalize_url_contract(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["n"] for r in df.select(WG.normalize_url("url").alias("n")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_normalize_url_idempotent_and_variant_stable(spark):
+    """Seeded sweep: normalize is idempotent, and every generated
+    variant (fragment / case / default port / trailing slash) of a base
+    url normalizes to the base's normal form."""
+    rng = random.Random(99)
+    bases, variants = [], []
+    for i in range(60):
+        scheme = rng.choice(["http", "https"])
+        host = f"host{rng.randrange(20)}.example"
+        path = "/" + "/".join(
+            f"Seg{rng.randrange(9)}" for _ in range(rng.randrange(3))
+        ) if rng.random() < 0.8 else ""
+        base = f"{scheme}://{host}{path}"
+        v = base
+        if rng.random() < 0.5:
+            v = v.replace("://", "://", 1).replace(host, host.upper(), 1)
+        if rng.random() < 0.4:
+            port = ":80" if scheme == "http" else ":443"
+            v = v.replace(host.upper() if host.upper() in v else host,
+                          (host.upper() if host.upper() in v else host) + port, 1)
+        if rng.random() < 0.4 and path:
+            v = v + "/"
+        if rng.random() < 0.5:
+            v = v + f"#frag{i}"
+        bases.append(base)
+        variants.append(v)
+    df = spark.createDataFrame(
+        list(zip(bases, variants)), "base string, variant string"
+    )
+    rows = df.select(
+        WG.normalize_url("base").alias("nb"),
+        WG.normalize_url(WG.normalize_url("variant")).alias("nnv"),
+        WG.normalize_url("variant").alias("nv"),
+    ).collect()
+    for r in rows:
+        assert r["nv"] == r["nnv"]   # idempotent
+        assert r["nv"] == r["nb"]    # variant-stable
 
 
 def test_url_dedup_groups_counts(spark):
