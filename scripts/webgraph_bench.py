@@ -65,6 +65,16 @@ def _inner(cpus: int, pages_path: str) -> None:
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()  # warm the scan metadata outside timings
 
+    # Warm the lazily-initialized per-JVM machinery that a steady-state
+    # cluster never pays per job — whole-stage codegen compilation, the
+    # Python worker daemon pool, Arrow serde — with one bounded pass
+    # through the SAME operators.  Both levels get the identical warmup,
+    # so it cancels out of the ratio; it just keeps one-time JIT cost
+    # out of the timed region (disclosed in BENCH/BASELINE.md).
+    warm = pages.limit(4096)
+    WG.host_graph(WG.resolved_links(WG.outlinks(warm))).count()
+    WG.domain_profile(warm).count()
+
     timings: dict[str, float] = {}
 
     t0 = time.perf_counter()
