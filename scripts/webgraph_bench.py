@@ -47,16 +47,36 @@ def _ensure_pages(n_pages: int, path: str) -> None:
     spark.stop()
 
 
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(d, f))
+        for d, _, fs in os.walk(path)
+        for f in fs
+    )
+
+
 def _inner(cpus: int, pages_path: str) -> None:
     sys.path.insert(0, REPO)
     from pyspark.sql import SparkSession, functions as F
 
     from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
 
+    # Split the scan so tasks >> cores AT BOTH LEVELS.  The miniature
+    # corpus is ~0.6 GB, so Spark's 128 MB default packs it into ~8
+    # splits — equal to the high level's core count, i.e. zero
+    # straggler slack (measured: extract speedup capped at 1.87x from
+    # 2->8 cores purely from scan under-splitting).  A real crawl scan
+    # has 10^5-10^6 splits, always >> cores; the miniature must
+    # preserve splits >> cores, not the 128 MB byte constant.
+    max_part = min(
+        128 * 1024 * 1024,
+        max(4 * 1024 * 1024, _dir_bytes(pages_path) // (cpus * 8)),
+    )
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("webgraph_bench")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        .config("spark.sql.files.maxPartitionBytes", str(max_part))
         .config("spark.driver.memory", "8g")
         .getOrCreate()
     )
@@ -66,11 +86,12 @@ def _inner(cpus: int, pages_path: str) -> None:
     n_pages = pages.count()  # warm the scan metadata outside timings
 
     # Warm the lazily-initialized per-JVM machinery that a steady-state
-    # cluster never pays per job — whole-stage codegen compilation, the
-    # Python worker daemon pool, Arrow serde — with one bounded pass
-    # through the SAME operators.  Both levels get the identical warmup,
-    # so it cancels out of the ratio; it just keeps one-time JIT cost
-    # out of the timed region (disclosed in BENCH/BASELINE.md).
+    # cluster never pays per job — whole-stage codegen compilation and
+    # its JIT — with one bounded pass through the SAME operators (the
+    # webgraph job is now fully JVM-side; no Python workers to warm).
+    # Both levels get the identical warmup, so it cancels out of the
+    # ratio; it just keeps one-time JIT cost out of the timed region
+    # (disclosed in BENCH/BASELINE.md).
     warm = pages.limit(4096)
     WG.host_graph(WG.resolved_links(WG.outlinks(warm))).count()
     WG.domain_profile(warm).count()

@@ -371,16 +371,42 @@ def test_domain_profile_matches_oracle(spark, pages_df):
 
 
 def test_host_graph_plan_single_pass_single_shuffle(spark, pages_df):
-    """Plan gate: one Arrow pass over the pages (extraction runs ONCE —
-    the scalar-UDF+explode shape re-ran it twice via
-    InferFiltersFromGenerate) and exactly one exchange (the pair-key
-    groupBy with map-side partial agg)."""
+    """Plan gate: extraction is fully JVM-side (NO Python worker — the
+    mapInPandas predecessor paid ~2/3 of its runtime in Arrow serde,
+    measured on the 2M-page corpus), the href regexp runs ONCE per page
+    (the scalar-PYTHON-UDF+explode shape re-ran it twice via
+    InferFiltersFromGenerate), and there is exactly one exchange (the
+    pair-key groupBy with map-side partial agg)."""
     hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
     plan = hg._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInPandas") == 0
     assert plan.count("ArrowEvalPython") == 0
+    assert "PythonUDF" not in plan
+    assert plan.count("regexp_extract_all") == 1
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_decode_ladder_matches_python(spark):
+    """The JVM decode ladder (is_valid_utf8 + zero-copy cast, latin-1
+    fallback) is pinned equal to textproc.decode_page_bytes on every
+    interesting shape: valid utf-8 with multibyte chars, latin-1-only
+    bytes, VALID utf-8 that legitimately contains U+FFFD (the roundtrip
+    trap an encode()==bytes predicate would mis-classify), NULL, and
+    empty."""
+    cases = [
+        bytearray("héllo <a href=\"https://x.example/\">".encode("utf-8")),
+        bytearray(b'caf\xe9 <a href="/p">'),
+        bytearray("ok � end".encode("utf-8")),
+        None,
+        bytearray(b""),
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "html binary")
+    got = [r["s"] for r in
+           df.select(WG.decode_ladder("html").alias("s")).collect()]
+    want = [tp.decode_page_bytes(bytes(c)) if c is not None else None
+            for c in cases]
+    assert got == want
 
 
 def test_cli_webgraph_verb(spark, tmp_path_factory, monkeypatch, capsys):
