@@ -1310,6 +1310,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_host_communities"] = web_host_communities
 
+    def web_trust_rank(spark, sf):
+        """TrustRank (Gyöngyi et al., VLDB 2004): personalized PageRank
+        restarted onto quality-selected trusted hosts (≥2 pages, mean
+        quality ≥0.5 — exact integer-micro-unit means, so the threshold
+        is engine-stable).  >0-trust rows only; 6dp on both sides."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        seeds = WG.trusted_hosts(pages, min_pages=2, min_quality=0.5)
+        r = WG.trust_rank(hg, seeds)
+        return r.select("host", F.round("trust", 6).alias("trust"))
+
+    q["web_trust_rank"] = web_trust_rank
+
+    def web_spam_mass(spark, sf):
+        """Relative spam mass (Gyöngyi et al., VLDB 2006) per ranked
+        host: the PageRank fraction NOT explained by trust flow from
+        the seed set — max(0, (p̂−t̂)/p̂) over sum-normalized ranks.
+        Rounding happens on the final values only; the formula runs on
+        the unrounded walks on both sides."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        seeds = WG.trusted_hosts(pages, min_pages=2, min_quality=0.5)
+        sm = WG.spam_mass(hg, seeds)
+        return sm.select(
+            "host",
+            F.round("pagerank", 6).alias("pagerank"),
+            F.round("trust", 6).alias("trust"),
+            F.round("spam_mass", 6).alias("spam_mass"),
+        )
+
+    q["web_spam_mass"] = web_spam_mass
+
     # ---------------- temporal provenance (warc_ts axis) ----------------
 
     def kg_edge_history(spark, sf):
@@ -3952,6 +3988,97 @@ def oracle_sql() -> dict[str, str]:
         JOIN comp cs ON t.subj = cs.name
         JOIN comp co ON t.obj = co.name
         GROUP BY cs.canonical_id, t.pred, co.canonical_id, t.chunk_id
+    """
+
+    # ---------------- TrustRank + spam mass over the host graph -------------
+    # Seed selection mirrors webgraph.trusted_hosts: hosts with >=2 pages
+    # and exact micro-unit mean quality >= 0.5 (same construction as the
+    # web_domain_profile twin).  The trust walk is the kg_entity_ppr
+    # contract with restart 1/|seeds|; spam mass is computed from the
+    # UNROUNDED walks, rounding only the final columns.
+    _web_seed_ctes = f"""
+        tb AS (
+          SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                 len({_SQL_TOKENS}) AS n_toks,
+                 {_sw_count} AS n_stop,
+                 length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+                 length(text) AS n_chars_a
+          FROM {_kg_pq("pages")}
+        ),
+        tq AS (
+          SELECT host,
+                 CAST(n_toks AS DOUBLE) AS n,
+                 CASE WHEN n_toks = 0 THEN 0.0
+                      ELSE CAST(n_stop AS DOUBLE) / n_toks END AS sr,
+                 CASE WHEN n_chars_a = 0 THEN 0.0
+                      ELSE CAST(n_punct AS DOUBLE) / n_chars_a END AS pr
+          FROM tb
+        ),
+        seeds AS (
+          SELECT host FROM tq
+          GROUP BY host
+          HAVING COUNT(*) >= 2
+             AND CAST(SUM(CAST(ROUND(ROUND(0.4 * least(n / 100.0, 1.0)
+                 + 0.3 * least(sr * 3.0, 1.0)
+                 + 0.3 * greatest(1.0 - pr * 5.0, 0.0), 6) * 1e6)
+                 AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) >= 0.5
+        )"""
+
+    sqls["web_trust_rank"] = f"""
+        WITH {_web_hosts_cte},
+        {_web_seed_ctes},
+        g AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg),
+        pnodes2 AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+          UNION SELECT host FROM seeds
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        sn AS (SELECT COUNT(*) AS cnt FROM seeds),
+        rs AS (
+          SELECT n.entity_id,
+                 CASE WHEN s.host IS NOT NULL
+                      THEN 1.0 / sn.cnt ELSE 0.0 END AS restart
+          FROM pnodes2 n CROSS JOIN sn
+          LEFT JOIN seeds s ON s.host = n.entity_id
+        ),
+        p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
+        SELECT entity_id AS host, ROUND(pagerank, 6) AS trust FROM p10
+        WHERE pagerank > 0
+    """
+
+    sqls["web_spam_mass"] = f"""
+        WITH {_web_hosts_cte},
+        {_web_seed_ctes},
+        g AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+        ),
+        pnodes2 AS (
+          SELECT entity_id FROM prnodes UNION SELECT host FROM seeds
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters},
+        sn AS (SELECT COUNT(*) AS cnt FROM seeds),
+        rs AS (
+          SELECT n.entity_id,
+                 CASE WHEN s.host IS NOT NULL
+                      THEN 1.0 / sn.cnt ELSE 0.0 END AS restart
+          FROM pnodes2 n CROSS JOIN sn
+          LEFT JOIN seeds s ON s.host = n.entity_id
+        ),
+        p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters},
+        psum AS (SELECT SUM(pagerank) AS s FROM r10),
+        tsum AS (SELECT SUM(pagerank) AS s FROM p10)
+        SELECT r.entity_id AS host,
+               ROUND(r.pagerank, 6) AS pagerank,
+               ROUND(COALESCE(p.pagerank, 0.0), 6) AS trust,
+               ROUND(GREATEST(0.0,
+                   (r.pagerank / psum.s - COALESCE(p.pagerank, 0.0) / tsum.s)
+                   / (r.pagerank / psum.s)), 6) AS spam_mass
+        FROM r10 r CROSS JOIN psum CROSS JOIN tsum
+        LEFT JOIN p10 p ON p.entity_id = r.entity_id
     """
 
     return sqls

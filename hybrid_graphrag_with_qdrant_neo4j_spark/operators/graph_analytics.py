@@ -125,6 +125,43 @@ def _local_rank_rows(spark, pairs, weights, damping, iterations, id_type):
     )
 
 
+def _local_ppr_rows(spark, pairs, seed_ids, damping, iterations, id_type):
+    """Driver-local personalized PageRank over a collected (bounded)
+    edge list — same contract as the distributed loop in
+    :func:`personalized_pagerank` (restart = 1/|S| on the seed set,
+    r_0 = restart, dangling mass dropped, ppr > 0 output filter)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    seed_ids = sorted(set(seed_ids))
+    nodes = sorted(
+        {p[0] for p in pairs} | {p[1] for p in pairs} | set(seed_ids)
+    )
+    idx = {n: i for i, n in enumerate(nodes)}
+    srcs = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dsts = np.array([idx[d] for _, d in pairs], dtype=np.int64)
+    outdeg = np.zeros(len(nodes))
+    np.add.at(outdeg, srcs, 1.0)
+    restart = np.zeros(len(nodes))
+    for s in seed_ids:
+        restart[idx[s]] = 1.0 / len(seed_ids)
+    r = restart.copy()
+    for _ in range(iterations):
+        contrib = r[srcs] / outdeg[srcs]
+        mass = np.zeros(len(nodes))
+        np.add.at(mass, dsts, contrib)
+        r = (1.0 - damping) * restart + damping * mass
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", id_type, True),
+            T.StructField("ppr", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, float(r[idx[n]])) for n in nodes if r[idx[n]] > 0.0], schema
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "subj_id",
@@ -302,6 +339,7 @@ def personalized_pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 4,
+    local_under: int | None = None,
 ) -> DataFrame:
     """Personalized PageRank: random walk with restart onto the seed
     set — the graph-walk retrieval primitive (HippoRAG-style) behind
@@ -323,7 +361,14 @@ def personalized_pagerank(
     Plan shape: identical to :func:`pagerank` — the (src, dst, outdeg)
     table is repartitioned on src and persisted once, each iteration
     shuffles only rank-sized rows, lineage is cut every
-    ``checkpoint_every`` iterations."""
+    ``checkpoint_every`` iterations.
+
+    ``local_under``: scale-adaptive dispatch, same design as
+    :func:`pagerank`'s — when BOTH the distinct edge list and the seed
+    set fit under the gate (two bounded limit(n+1) probes, never an
+    unbounded collect), the walk runs driver-local in numpy.  The
+    webgraph trust-rank wrappers use it: a host graph is orders of
+    magnitude smaller than its corpus."""
     spark = edges.sparkSession
     if not isinstance(seeds, DataFrame):
         seeds = spark.createDataFrame(
@@ -342,6 +387,22 @@ def personalized_pagerank(
         .distinct()
         .persist()
     )
+    if local_under:
+        head = g.limit(local_under + 1).collect()
+        if len(head) <= local_under:
+            seed_head = seeds.limit(local_under + 1).collect()
+            if len(seed_head) <= local_under:
+                g.unpersist()
+                out = _local_ppr_rows(
+                    spark,
+                    [(r["src"], r["dst"]) for r in head],
+                    [r["entity_id"] for r in seed_head],
+                    damping,
+                    iterations,
+                    g.schema["src"].dataType,
+                )
+                seeds.unpersist()
+                return out
     nodes = (
         g.select(F.col("src").alias("entity_id"))
         .unionByName(g.select(F.col("dst").alias("entity_id")))

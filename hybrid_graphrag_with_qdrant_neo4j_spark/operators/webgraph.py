@@ -229,6 +229,101 @@ def domain_rank_weighted(hgraph: DataFrame, damping: float = 0.85,
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
 
+def trusted_hosts(pages: DataFrame, min_pages: int = 2,
+                  min_quality: float = 0.5, url_col: str = "url",
+                  text_col: str = "text",
+                  lang_col: str = "lang") -> DataFrame:
+    """One-column (host) seed set for :func:`trust_rank`: hosts whose
+    :func:`domain_profile` shows at least ``min_pages`` pages with mean
+    quality ≥ ``min_quality``.  Deterministic across engines: the
+    profile's mean_quality is an exact integer-micro-unit mean (see
+    :func:`domain_profile`), so the threshold comparison never rides on
+    float dust.  In a production crawl the seed list would more likely
+    be a curated whitelist — this helper is the data-derived default."""
+    prof = domain_profile(pages, url_col=url_col, text_col=text_col,
+                          lang_col=lang_col)
+    return prof.filter(
+        (F.col("n_pages") >= min_pages)
+        & (F.col("mean_quality") >= min_quality)
+    ).select("host")
+
+
+def trust_rank(hgraph: DataFrame, seeds, damping: float = 0.85,
+               iterations: int = 10,
+               local_under: int | None = 50_000) -> DataFrame:
+    """(host, trust) — TrustRank over the host graph: personalized
+    PageRank restarted onto a trusted seed set, so trust mass flows only
+    along links REACHABLE from good hosts (Gyöngyi, Garcia-Molina &
+    Pedersen, "Combating Web Spam with TrustRank", VLDB 2004).  A host
+    nobody trustworthy links to ends with trust 0 regardless of how many
+    spam farms point at it — the property plain :func:`domain_rank`
+    lacks.
+
+    ``seeds`` is a host list or a one-column DataFrame (e.g.
+    :func:`trusted_hosts`).  Iteration contract is exactly
+    graph_analytics.personalized_pagerank's (restart = 1/|S|, dangling
+    mass dropped, trust > 0 rows only); ``local_under`` dispatches
+    driver-local below 50k host pairs like the other webgraph ranks.
+
+    100 TB design: the walk runs on the host graph, not the corpus —
+    cost scales with |host pairs|.  Seed selection via
+    :func:`trusted_hosts` is one pruned corpus scan + one groupBy."""
+    r = graph_analytics.personalized_pagerank(
+        hgraph, seeds, src="src_host", dst="dst_host",
+        damping=damping, iterations=iterations, local_under=local_under,
+    )
+    return r.select(
+        F.col("entity_id").alias("host"), F.col("ppr").alias("trust")
+    )
+
+
+def spam_mass(hgraph: DataFrame, seeds, damping: float = 0.85,
+              iterations: int = 10,
+              local_under: int | None = 50_000) -> DataFrame:
+    """(host, pagerank, trust, spam_mass) — relative spam-mass
+    estimate per ranked host (Gyöngyi et al., "Link Spam Detection
+    Based on Mass Estimation", VLDB 2006): the fraction of a host's
+    PageRank NOT explained by trust flowing from the seed set,
+
+        spam_mass = max(0, (p̂ − t̂) / p̂),  p̂ = pr/Σpr, t̂ = trust/Σtrust
+
+    where pr is the unweighted :func:`domain_rank` and trust is
+    :func:`trust_rank` over the SAME host graph with the SAME damping
+    and iteration count.  p̂ > 0 always (the un-normalized PageRank
+    floor is 1−d), so the division is total; spam_mass ∈ [0, 1], with
+    1 = "all of this host's authority comes from outside the trusted
+    web" — a link farm flags near 1, a well-linked legitimate host near
+    0.  If the seed set contributes no trust at all (empty seeds), every
+    host's spam_mass is 1 by the same formula limit — callers should
+    treat an empty seed set as a configuration error.
+
+    One rank each side, one broadcastable two-row sum, one hash join on
+    host — no corpus rescans.  Ordering within equal scores is not
+    defined; consumers rank by (spam_mass, pagerank)."""
+    pr = domain_rank(hgraph, damping=damping, iterations=iterations,
+                     local_under=local_under)
+    tr = trust_rank(hgraph, seeds, damping=damping, iterations=iterations,
+                    local_under=local_under)
+    p_sum = pr.agg(F.sum("pagerank").alias("_ps"))
+    t_sum = tr.agg(F.sum("trust").alias("_ts"))
+    sums = F.broadcast(p_sum.crossJoin(t_sum))
+    j = (
+        pr.join(tr, "host", "left")
+        .withColumn("trust", F.coalesce("trust", F.lit(0.0)))
+        .crossJoin(sums)
+    )
+    p_hat = F.col("pagerank") / F.col("_ps")
+    t_hat = F.when(
+        F.col("_ts") > 0.0, F.col("trust") / F.col("_ts")
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "host",
+        "pagerank",
+        "trust",
+        F.greatest(F.lit(0.0), (p_hat - t_hat) / p_hat).alias("spam_mass"),
+    )
+
+
 def domain_profile(pages: DataFrame, url_col: str = "url",
                    text_col: str = "text",
                    lang_col: str = "lang") -> DataFrame:

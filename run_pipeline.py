@@ -574,6 +574,45 @@ def _webgraph_main(args) -> None:
             for r in low_q
         ],
     }
+    if args.spam:
+        # link-spam curation: TrustRank from a trusted seed set, then
+        # relative spam mass (rank share NOT explained by trust flow)
+        if args.seed_hosts:
+            seeds = [h.strip() for h in args.seed_hosts.split(",") if h.strip()]
+        else:
+            seeds = WG.trusted_hosts(
+                pages, min_pages=args.seed_min_pages,
+                min_quality=args.seed_min_quality,
+            )
+        sm = WG.spam_mass(hg, seeds, damping=args.damping,
+                          iterations=args.iterations).persist()
+        if args.out_dir:
+            sm.write.mode("overwrite").parquet(
+                os.path.join(args.out_dir, "spam_mass.parquet"))
+        flagged = (
+            sm.filter(F.col("spam_mass") >= args.spam_flag)
+            .orderBy(F.desc("spam_mass"), F.desc("pagerank"), F.asc("host"))
+            .limit(args.top)
+            .collect()
+        )
+        n_seeds = (seeds.count() if not isinstance(seeds, list)
+                   else len(seeds))
+        out["spam"] = {
+            "n_seeds": n_seeds,
+            "n_flagged": sm.filter(
+                F.col("spam_mass") >= args.spam_flag).count(),
+            "spam_flag": args.spam_flag,
+            "top_spam_hosts": [
+                {
+                    "host": r["host"],
+                    "spam_mass": round(r["spam_mass"], 6),
+                    "pagerank": round(r["pagerank"], 6),
+                    "trust": round(r["trust"], 6),
+                }
+                for r in flagged
+            ],
+        }
+        sm.unpersist()
     if args.out_dir:
         out["out_dir"] = args.out_dir
     print(json.dumps(out, indent=2))
@@ -839,6 +878,16 @@ def main() -> None:
     wg.add_argument("--damping", type=float, default=0.85)
     wg.add_argument("--quality-flag", type=float, default=0.30,
                     help="report hosts with mean_quality below this")
+    wg.add_argument("--spam", action="store_true",
+                    help="add TrustRank + relative spam-mass per host "
+                    "(seeded walk from trusted hosts)")
+    wg.add_argument("--seed-hosts", default=None,
+                    help="comma-separated trusted seed hosts; default: "
+                    "quality-selected via --seed-min-quality/--seed-min-pages")
+    wg.add_argument("--seed-min-quality", type=float, default=0.5)
+    wg.add_argument("--seed-min-pages", type=int, default=2)
+    wg.add_argument("--spam-flag", type=float, default=0.95,
+                    help="report hosts with spam_mass >= this")
 
     cp = sub.add_parser(
         "compact",

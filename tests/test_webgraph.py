@@ -535,3 +535,173 @@ def test_page_links_deterministic_and_independent_of_body_stream():
     assert random.Random(42 * 2_000_003 + 7_919 * 7 + 13).random() == random.Random(
         42 * 2_000_003 + 7_919 * 7 + 13
     ).random()
+
+
+# ---------------------------------------------------------------------------
+# TrustRank + spam mass (link-spam curation over the host graph)
+# ---------------------------------------------------------------------------
+
+
+def _py_trust_rank(pairs, seeds, iterations=10, damping=0.85):
+    """Seeded-walk oracle: restart = 1/|S| on seeds, r0 = restart,
+    dangling mass dropped, >0 rows only — the personalized_pagerank
+    contract."""
+    seeds = sorted(set(seeds))
+    nodes = sorted({h for p in pairs for h in p} | set(seeds))
+    outdeg = Counter(s for s, _ in pairs)
+    restart = {n: (1.0 / len(seeds) if n in seeds else 0.0) for n in nodes}
+    rank = dict(restart)
+    for _ in range(iterations):
+        mass = defaultdict(float)
+        for s, d in sorted(pairs):
+            mass[d] += rank[s] / outdeg[s]
+        rank = {
+            n: (1.0 - damping) * restart[n] + damping * mass.get(n, 0.0)
+            for n in nodes
+        }
+    return {n: r for n, r in rank.items() if r > 0.0}
+
+
+def _host_pairs(rows):
+    pairs = set()
+    for src, dst in _oracle_links(rows):
+        sh, dh = _HOST_RE.match(src).group(1), _HOST_RE.match(dst).group(1)
+        if sh != dh:
+            pairs.add((sh, dh))
+    return pairs
+
+
+def test_trust_rank_matches_python_oracle(spark, pages_df):
+    """Local (numpy) and distributed paths both equal the pure-Python
+    seeded walk; an off-graph seed keeps its restart-only mass."""
+    pairs = _host_pairs(_oracle_rows())
+    in_graph = sorted({s for s, _ in pairs})[:4]
+    seeds = in_graph + ["offgraph.example"]  # seed nobody links to/from
+    expected = _py_trust_rank(pairs, seeds)
+
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    for lu in (50_000, None):  # numpy path, then distributed loop
+        got = {r["host"]: r["trust"]
+               for r in WG.trust_rank(hg, seeds, local_under=lu).collect()}
+        assert got.keys() == expected.keys()
+        for n in expected:
+            assert got[n] == pytest.approx(expected[n], abs=1e-9)
+    # the off-graph seed walked nowhere: restart mass only
+    assert expected["offgraph.example"] == pytest.approx(0.15 / 5, abs=1e-12)
+
+
+def test_trusted_hosts_is_the_profile_filter(spark, pages_df):
+    prof = {r["host"]: r for r in WG.domain_profile(pages_df).collect()}
+    got = {r["host"] for r in
+           WG.trusted_hosts(pages_df, min_pages=2, min_quality=0.5).collect()}
+    want = {h for h, r in prof.items()
+            if r["n_pages"] >= 2 and r["mean_quality"] >= 0.5}
+    assert got == want and got  # non-empty on this corpus
+
+
+def test_spam_mass_flags_link_farm(spark):
+    """A link farm with no trusted in-links flags spam_mass 1.0; the
+    trusted neighborhood flags low; values match the documented formula
+    recomputed from the python oracles."""
+    # trusted core: T -> G1 -> G2 -> G1 ; spam farm: S1..S3 -> X, X -> S1
+    edges = [
+        ("t.example", "g1.example", 3),
+        ("g1.example", "g2.example", 1),
+        ("g2.example", "g1.example", 2),
+        ("s1.example", "x.example", 5),
+        ("s2.example", "x.example", 5),
+        ("s3.example", "x.example", 5),
+        ("x.example", "s1.example", 1),
+    ]
+    hg = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    seeds = ["t.example"]
+    got = {r["host"]: r for r in WG.spam_mass(hg, seeds).collect()}
+
+    pairs = {(s, d) for s, d, _ in edges}
+    nodes = sorted({h for p in pairs for h in p})
+    outdeg = Counter(s for s, _ in pairs)
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        mass = defaultdict(float)
+        for s, d in sorted(pairs):
+            mass[d] += pr[s] / outdeg[s]
+        pr = {n: 0.15 + 0.85 * mass.get(n, 0.0) for n in nodes}
+    tr = _py_trust_rank(pairs, seeds)
+    ps, ts = sum(pr.values()), sum(tr.values())
+    for h in nodes:
+        p_hat = pr[h] / ps
+        t_hat = tr.get(h, 0.0) / ts
+        want = max(0.0, (p_hat - t_hat) / p_hat)
+        assert got[h]["spam_mass"] == pytest.approx(want, abs=1e-9)
+        assert 0.0 <= got[h]["spam_mass"] <= 1.0
+    # the farm target has zero trust -> full spam mass
+    assert got["x.example"]["spam_mass"] == pytest.approx(1.0)
+    # the trusted neighborhood is mostly explained by trust
+    assert got["g1.example"]["spam_mass"] < 0.5
+    assert got["x.example"]["spam_mass"] > got["g1.example"]["spam_mass"]
+    # the seed itself clamps at 0 (trust share exceeds rank share)
+    assert got["t.example"]["spam_mass"] == 0.0
+
+
+def test_ppr_local_gate_dispatch(spark, monkeypatch):
+    """personalized_pagerank takes the numpy path iff BOTH the edge
+    list and the seed set fit under the gate."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+        graph_analytics as ga,
+    )
+
+    pairs = [(f"n{(i * 7) % 23}", f"n{(i * i) % 23}") for i in range(60)]
+    edges = spark.createDataFrame(pairs, "subj_id string, obj_id string")
+    calls = []
+    orig = ga._local_ppr_rows
+
+    def spy(*a, **k):
+        calls.append(1)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(ga, "_local_ppr_rows", spy)
+    ga.personalized_pagerank(edges, ["n1"], local_under=10_000).collect()
+    assert calls, "under-gate graph must take the numpy path"
+    calls.clear()
+    ga.personalized_pagerank(edges, ["n1"], local_under=1).collect()
+    assert not calls, "over-gate graph must run the distributed loop"
+
+
+def test_cli_webgraph_spam_report(spark, tmp_path_factory, monkeypatch, capsys):
+    """--spam adds a TrustRank/spam-mass section; explicit seeds and the
+    written spam_mass parquet agree with the operator."""
+    import json
+
+    import run_pipeline
+
+    out = str(tmp_path_factory.mktemp("wg_spam"))
+    monkeypatch.setattr(type(spark), "stop", lambda self: None)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["run_pipeline.py", "webgraph", "--pages", str(N_PAGES),
+         "--out-dir", out, "--top", "3", "--spam",
+         "--seed-hosts", "site0.example,site1.example",
+         "--spam-flag", "0.9"],
+    )
+    run_pipeline.main()
+    got = json.loads(capsys.readouterr().out)
+    assert got["spam"]["n_seeds"] == 2
+    assert got["spam"]["n_flagged"] > 0
+    top = got["spam"]["top_spam_hosts"]
+    assert top and all(t["spam_mass"] >= 0.9 for t in top)
+    assert all(t["trust"] == 0.0 for t in top if t["spam_mass"] == 1.0)
+    # parquet round-trip equals the operator on the same inputs
+    sm_pq = {r["host"]: r["spam_mass"] for r in
+             spark.read.parquet(f"{out}/spam_mass.parquet").collect()}
+    pairs = _host_pairs(_oracle_rows())
+    hg = spark.createDataFrame(
+        [(s, d, 1) for s, d in sorted(pairs)],
+        "src_host string, dst_host string, n_links long",
+    )
+    want = {r["host"]: r["spam_mass"] for r in
+            WG.spam_mass(hg, ["site0.example", "site1.example"]).collect()}
+    assert sm_pq.keys() == want.keys()
+    for h in want:
+        assert sm_pq[h] == pytest.approx(want[h], abs=1e-9)
