@@ -1325,6 +1325,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_trust_rank"] = web_trust_rank
 
+    def web_host_hits(spark, sf):
+        """HITS hubs/authorities over the distinct host pairs
+        (Kleinberg 1999; L1-normalized synchronous iterations — the
+        contract graph_analytics.hits documents).  6dp both sides."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        r = WG.host_hits(hg)
+        return r.select(
+            "host",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+
+    q["web_host_hits"] = web_host_hits
+
     def web_spam_mass(spark, sf):
         """Relative spam mass (Gyöngyi et al., VLDB 2006) per ranked
         host: the PageRank fraction NOT explained by trust flow from
@@ -4045,6 +4062,55 @@ def oracle_sql() -> dict[str, str]:
         p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
         SELECT entity_id AS host, ROUND(pagerank, 6) AS trust FROM p10
         WHERE pagerank > 0
+    """
+
+    # HITS, unrolled: per iteration an authority mass + L1 norm, then a
+    # hub mass + L1 norm (same contract as graph_analytics.hits).  The
+    # normalizer is SUM(...) OVER () — NOT a scalar subquery re-reading
+    # the mass CTE: a second reference per level makes DuckDB's CTE
+    # inlining expand the chain ~3^10-fold (observed: glob-IO failure /
+    # multi-minute hang).  With the window form each CTE is referenced
+    # exactly once per level; the shared base tables are MATERIALIZED so
+    # the pages scan runs once, not once per reference.
+    _hits_iters = "".join(
+        f""",
+        a{k} AS (
+          SELECT entity_id, a / SUM(a) OVER () AS a
+          FROM (
+            SELECT n.entity_id, COALESCE(p.a, 0.0) AS a
+            FROM hnodes n LEFT JOIN (
+              SELECT g.dst AS entity_id, SUM(h{k - 1}.h) AS a
+              FROM g JOIN h{k - 1} ON h{k - 1}.entity_id = g.src
+              GROUP BY g.dst
+            ) p ON p.entity_id = n.entity_id
+          )
+        ),
+        h{k} AS (
+          SELECT entity_id, h / SUM(h) OVER () AS h
+          FROM (
+            SELECT n.entity_id, COALESCE(p.h, 0.0) AS h
+            FROM hnodes n LEFT JOIN (
+              SELECT g.src AS entity_id, SUM(a{k}.a) AS h
+              FROM g JOIN a{k} ON a{k}.entity_id = g.dst
+              GROUP BY g.src
+            ) p ON p.entity_id = n.entity_id
+          )
+        )"""
+        for k in range(1, 11)
+    )
+    sqls["web_host_hits"] = f"""
+        WITH {_web_hosts_cte},
+        g AS MATERIALIZED (
+          SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg
+        ),
+        hnodes AS MATERIALIZED (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+        ),
+        h0 AS (SELECT entity_id, 1.0 AS h FROM hnodes){_hits_iters}
+        SELECT h10.entity_id AS host,
+               ROUND(h10.h, 6) AS hub,
+               ROUND(a10.a, 6) AS authority
+        FROM h10 JOIN a10 ON a10.entity_id = h10.entity_id
     """
 
     sqls["web_spam_mass"] = f"""

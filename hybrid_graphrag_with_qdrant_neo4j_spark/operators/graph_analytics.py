@@ -449,6 +449,155 @@ def personalized_pagerank(
     return out
 
 
+def _local_hits_rows(spark, pairs, iterations, id_type):
+    """Driver-local HITS over a collected (bounded) edge list — same
+    iteration contract as the distributed loop in :func:`hits`."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    nodes = sorted({p[0] for p in pairs} | {p[1] for p in pairs})
+    idx = {n: i for i, n in enumerate(nodes)}
+    srcs = np.array([idx[s] for s, _ in pairs], dtype=np.int64)
+    dsts = np.array([idx[d] for _, d in pairs], dtype=np.int64)
+    h = np.ones(len(nodes))
+    a = np.zeros(len(nodes))
+    for _ in range(iterations):
+        a = np.zeros(len(nodes))
+        np.add.at(a, dsts, h[srcs])
+        s = a.sum()
+        if s > 0:
+            a /= s
+        h = np.zeros(len(nodes))
+        np.add.at(h, srcs, a[dsts])
+        s = h.sum()
+        if s > 0:
+            h /= s
+    schema = T.StructType(
+        [
+            T.StructField("entity_id", id_type, True),
+            T.StructField("hub", T.DoubleType(), True),
+            T.StructField("authority", T.DoubleType(), True),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n, float(h[idx[n]]), float(a[idx[n]])) for n in nodes], schema
+    )
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "subj_id",
+    dst: str = "obj_id",
+    iterations: int = 10,
+    checkpoint_every: int = 1,
+    local_under: int | None = None,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg, JACM 1999) over DISTINCT
+    directed edges: (entity_id, hub, authority).
+
+    Deterministic contract (shared with the unrolled DuckDB twin and
+    the numpy local path): h_0 = 1 for every node; each iteration
+    computes a_k(v) = Σ_{u→v} h_{k-1}(u) then L1-normalizes a_k to sum
+    1, then h_k(u) = Σ_{u→v} a_k(v) and L1-normalizes h_k.  L1 instead
+    of the textbook L2 keeps the normalizer a plain SUM on both
+    engines; the RANKING is identical (normalization only rescales).
+    Nodes with no out-links end with hub 0; no in-links, authority 0 —
+    every node keeps a row.
+
+    Where :func:`pagerank` scores endorsement mass, the authority score
+    rewards being pointed at BY GOOD HUBS — on a web host graph, hubs
+    are directories/aggregators and authorities are the content hosts a
+    crawl frontier should prioritize.
+
+    Plan shape: the distinct (src, dst) table is persisted once; each
+    iteration is two rank-sized shuffles (join + groupBy sum) and two
+    one-row global sums broadcast back — never a corpus scan.  Unlike
+    the PageRank loop, BOTH score vectors are consumed twice per
+    iteration (mass join + normalizer sum), so lineage doubles per
+    iteration — checkpoint_every defaults to 1 (a 4-iteration gap grows
+    the uncut plan ~2^4 and was observed exploding the stage count).
+    ``local_under`` dispatches a bounded driver-local numpy loop like
+    the other rank operators (host graphs ≪ corpus)."""
+    if iterations < 1:
+        raise ValueError("hits needs iterations >= 1")
+    g = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    if local_under:
+        head = g.limit(local_under + 1).collect()
+        if len(head) <= local_under:
+            g.unpersist()
+            return _local_hits_rows(
+                edges.sparkSession,
+                [(r["src"], r["dst"]) for r in head],
+                iterations,
+                g.schema["src"].dataType,
+            )
+    nodes = (
+        g.select(F.col("src").alias("entity_id"))
+        .unionByName(g.select(F.col("dst").alias("entity_id")))
+        .distinct()
+        .persist()
+    )
+    g.count()
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        s = df.agg(F.sum(col).alias("_s"))
+        return (
+            df.crossJoin(F.broadcast(s))
+            .select(
+                "entity_id",
+                F.when(F.col("_s") > 0.0, F.col(col) / F.col("_s"))
+                .otherwise(F.lit(0.0))
+                .alias(col),
+            )
+        )
+
+    h = nodes.select("entity_id", F.lit(1.0).alias("hub"))
+    a = None
+    prev = None
+    for i in range(iterations):
+        a_mass = (
+            g.join(h.select(F.col("entity_id").alias("src"), "hub"), "src")
+            .groupBy(F.col("dst").alias("entity_id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        a = _norm(
+            nodes.join(a_mass, "entity_id", "left").select(
+                "entity_id",
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            ),
+            "authority",
+        )
+        h_mass = (
+            g.join(
+                a.select(F.col("entity_id").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("entity_id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        h = _norm(
+            nodes.join(h_mass, "entity_id", "left").select(
+                "entity_id", F.coalesce("hub", F.lit(0.0)).alias("hub")
+            ),
+            "hub",
+        )
+        if (i + 1) % checkpoint_every == 0 or i == iterations - 1:
+            h = h.localCheckpoint(eager=True)
+            a = a.localCheckpoint(eager=True)
+            if prev is not None:
+                prev[0].unpersist()
+                prev[1].unpersist()
+            prev = (h, a)
+    out = h.join(a, "entity_id").select("entity_id", "hub", "authority")
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    nodes.unpersist()
+    return out
+
+
 def _undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """DISTINCT pairs with both directions materialized — the adjacency
     a 'neighbors' walk needs when the stored edges are directed (the

@@ -229,6 +229,22 @@ def domain_rank_weighted(hgraph: DataFrame, damping: float = 0.85,
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
 
+def host_hits(hgraph: DataFrame, iterations: int = 10,
+              local_under: int | None = 50_000) -> DataFrame:
+    """(host, hub, authority) — HITS over the distinct host pairs of a
+    :func:`host_graph` (see graph_analytics.hits for the exact
+    L1-normalized iteration contract).  On a crawl's domain graph, hub
+    hosts are the directories/aggregators whose outlinks are worth
+    frontier-expanding; authority hosts are the content domains those
+    hubs agree on — the two-sided signal PageRank collapses into one.
+    ``local_under`` as in :func:`domain_rank`."""
+    r = graph_analytics.hits(
+        hgraph, src="src_host", dst="dst_host",
+        iterations=iterations, local_under=local_under,
+    )
+    return r.select(F.col("entity_id").alias("host"), "hub", "authority")
+
+
 def trusted_hosts(pages: DataFrame, min_pages: int = 2,
                   min_quality: float = 0.5, url_col: str = "url",
                   text_col: str = "text",

@@ -574,6 +574,24 @@ def _webgraph_main(args) -> None:
             for r in low_q
         ],
     }
+    if args.hits:
+        hh = WG.host_hits(hg, iterations=args.iterations).persist()
+        if args.out_dir:
+            hh.write.mode("overwrite").parquet(
+                os.path.join(args.out_dir, "host_hits.parquet"))
+        out["hits"] = {
+            "top_authorities": [
+                {"host": r["host"], "authority": round(r["authority"], 6)}
+                for r in hh.orderBy(
+                    F.desc("authority"), F.asc("host")).limit(args.top).collect()
+            ],
+            "top_hubs": [
+                {"host": r["host"], "hub": round(r["hub"], 6)}
+                for r in hh.orderBy(
+                    F.desc("hub"), F.asc("host")).limit(args.top).collect()
+            ],
+        }
+        hh.unpersist()
     if args.spam:
         # link-spam curation: TrustRank from a trusted seed set, then
         # relative spam mass (rank share NOT explained by trust flow)
@@ -878,6 +896,8 @@ def main() -> None:
     wg.add_argument("--damping", type=float, default=0.85)
     wg.add_argument("--quality-flag", type=float, default=0.30,
                     help="report hosts with mean_quality below this")
+    wg.add_argument("--hits", action="store_true",
+                    help="add HITS hubs/authorities per host")
     wg.add_argument("--spam", action="store_true",
                     help="add TrustRank + relative spam-mass per host "
                     "(seeded walk from trusted hosts)")

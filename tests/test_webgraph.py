@@ -681,12 +681,18 @@ def test_cli_webgraph_spam_report(spark, tmp_path_factory, monkeypatch, capsys):
     monkeypatch.setattr(
         "sys.argv",
         ["run_pipeline.py", "webgraph", "--pages", str(N_PAGES),
-         "--out-dir", out, "--top", "3", "--spam",
+         "--out-dir", out, "--top", "3", "--spam", "--hits",
          "--seed-hosts", "site0.example,site1.example",
          "--spam-flag", "0.9"],
     )
     run_pipeline.main()
     got = json.loads(capsys.readouterr().out)
+    # --hits section: planted skew puts a low-numbered site on top, and
+    # the parquet output round-trips
+    top_auth = got["hits"]["top_authorities"][0]
+    assert int(re.match(r"site(\d+)", top_auth["host"]).group(1)) < 10
+    assert len(got["hits"]["top_hubs"]) == 3
+    assert spark.read.parquet(f"{out}/host_hits.parquet").count() > 0
     assert got["spam"]["n_seeds"] == 2
     assert got["spam"]["n_flagged"] > 0
     top = got["spam"]["top_spam_hosts"]
@@ -705,3 +711,73 @@ def test_cli_webgraph_spam_report(spark, tmp_path_factory, monkeypatch, capsys):
     assert sm_pq.keys() == want.keys()
     for h in want:
         assert sm_pq[h] == pytest.approx(want[h], abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities over the host graph
+# ---------------------------------------------------------------------------
+
+
+def _py_hits(pairs, iterations=10):
+    """L1-normalized synchronous HITS oracle (graph_analytics.hits
+    contract): h0 = 1, a_k from h_{k-1}, both normalized to sum 1."""
+    nodes = sorted({h for p in pairs for h in p})
+    h = {n: 1.0 for n in nodes}
+    a = {n: 0.0 for n in nodes}
+    for _ in range(iterations):
+        a = {n: 0.0 for n in nodes}
+        for s, d in sorted(pairs):
+            a[d] += h[s]
+        sa = sum(a.values())
+        a = {n: (v / sa if sa > 0 else 0.0) for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in sorted(pairs):
+            h[s] += a[d]
+        sh = sum(h.values())
+        h = {n: (v / sh if sh > 0 else 0.0) for n, v in h.items()}
+    return h, a
+
+
+def test_host_hits_matches_python_oracle(spark, pages_df):
+    """Local (numpy) and distributed paths both equal the pure-Python
+    L1-normalized HITS on the corpus host graph; zero-outlink hosts get
+    hub 0 and keep their rows."""
+    pairs = _host_pairs(_oracle_rows())
+    eh, ea = _py_hits(pairs)
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    for lu in (50_000, None):
+        got = {r["host"]: (r["hub"], r["authority"])
+               for r in WG.host_hits(hg, local_under=lu).collect()}
+        assert got.keys() == eh.keys()
+        for n in eh:
+            assert got[n][0] == pytest.approx(eh[n], abs=1e-9)
+            assert got[n][1] == pytest.approx(ea[n], abs=1e-9)
+    # planted preferential skew: a low-numbered site is the top authority
+    top_auth = max(got, key=lambda k: got[k][1])
+    assert int(re.match(r"site(\d+)", top_auth).group(1)) < 10
+    # L1 contract: both score vectors sum to 1
+    assert sum(v[0] for v in got.values()) == pytest.approx(1.0)
+    assert sum(v[1] for v in got.values()) == pytest.approx(1.0)
+
+
+def test_hits_structure_and_guards(spark):
+    """A pure hub (only outlinks) gets authority 0; a pure authority
+    (only inlinks) gets hub 0; iterations must be >= 1."""
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+        graph_analytics as ga,
+    )
+
+    hg = spark.createDataFrame(
+        [("hub.example", "auth1.example", 1),
+         ("hub.example", "auth2.example", 1),
+         ("mid.example", "auth1.example", 1),
+         ("auth1.example", "mid.example", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r["host"]: r for r in WG.host_hits(hg).collect()}
+    assert got["hub.example"]["authority"] == 0.0
+    assert got["auth2.example"]["hub"] == 0.0
+    assert got["hub.example"]["hub"] > got["mid.example"]["hub"]
+    assert got["auth1.example"]["authority"] > got["auth2.example"]["authority"]
+    with pytest.raises(ValueError):
+        ga.hits(hg, src="src_host", dst="dst_host", iterations=0)
