@@ -1342,6 +1342,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_host_hits"] = web_host_hits
 
+    def web_reciprocity(spark, sf):
+        """Per-host link reciprocity over the distinct host pairs —
+        the link-exchange signal (high ratio at high out-degree =
+        scheme-shaped).  Hosts without out-links are absent."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        r = WG.reciprocity(hg)
+        return r.select(
+            "host", "n_out_hosts", "n_reciprocal",
+            F.round("reciprocity", 6).alias("reciprocity"),
+        )
+
+    q["web_reciprocity"] = web_reciprocity
+
     def web_spam_mass(spark, sf):
         """Relative spam mass (Gyöngyi et al., VLDB 2006) per ranked
         host: the PageRank fraction NOT explained by trust flow from
@@ -4062,6 +4078,21 @@ def oracle_sql() -> dict[str, str]:
         p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
         SELECT entity_id AS host, ROUND(pagerank, 6) AS trust FROM p10
         WHERE pagerank > 0
+    """
+
+    sqls["web_reciprocity"] = f"""
+        WITH {_web_hosts_cte},
+        g AS (SELECT DISTINCT src_host, dst_host FROM hg)
+        SELECT g.src_host AS host,
+               COUNT(*) AS n_out_hosts,
+               CAST(COALESCE(SUM(CASE WHEN r.src_host IS NOT NULL
+                    THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_reciprocal,
+               ROUND(CAST(SUM(CASE WHEN r.src_host IS NOT NULL
+                    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                 AS reciprocity
+        FROM g LEFT JOIN g r
+          ON r.src_host = g.dst_host AND r.dst_host = g.src_host
+        GROUP BY g.src_host
     """
 
     # HITS, unrolled: per iteration an authority mass + L1 norm, then a

@@ -245,6 +245,37 @@ def host_hits(hgraph: DataFrame, iterations: int = 10,
     return r.select(F.col("entity_id").alias("host"), "hub", "authority")
 
 
+def reciprocity(hgraph: DataFrame) -> DataFrame:
+    """(host, n_out_hosts, n_reciprocal, reciprocity) — per-host link
+    reciprocity over the DISTINCT host pairs: how many of a host's
+    out-neighbors link back, and the ratio.  Organic linking is largely
+    one-directional (content cites content); wholesale reciprocation is
+    the signature of link-exchange schemes, so a high ratio on a
+    high-out-degree host is a spam flag the rank-based signals
+    (:func:`spam_mass`) don't capture directly.  Hosts with no
+    out-links are absent (ratio undefined, not 0).
+
+    Plan: distinct pairs self-joined on the REVERSED pair key (one
+    shuffle, equi-join — never a cartesian), then one groupBy on src
+    with algebraic aggregates.  Scales with |host pairs|, not corpus
+    bytes."""
+    g = hgraph.select("src_host", "dst_host").distinct()
+    rev = g.select(
+        F.col("dst_host").alias("src_host"),
+        F.col("src_host").alias("dst_host"),
+        F.lit(1).alias("_recip"),
+    )
+    full = g.join(rev, ["src_host", "dst_host"], "left")
+    return full.groupBy(F.col("src_host").alias("host")).agg(
+        F.count("*").alias("n_out_hosts"),
+        F.sum(F.coalesce("_recip", F.lit(0))).alias("n_reciprocal"),
+        (
+            F.sum(F.coalesce("_recip", F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("reciprocity"),
+    )
+
+
 def trusted_hosts(pages: DataFrame, min_pages: int = 2,
                   min_quality: float = 0.5, url_col: str = "url",
                   text_col: str = "text",

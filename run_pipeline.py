@@ -592,6 +592,23 @@ def _webgraph_main(args) -> None:
             ],
         }
         hh.unpersist()
+    if args.reciprocity:
+        rc = WG.reciprocity(hg).persist()
+        if args.out_dir:
+            rc.write.mode("overwrite").parquet(
+                os.path.join(args.out_dir, "reciprocity.parquet"))
+        out["reciprocity"] = {
+            "n_hosts_with_outlinks": rc.count(),
+            "top_reciprocal_hosts": [
+                {"host": r["host"], "reciprocity": round(r["reciprocity"], 6),
+                 "n_out_hosts": r["n_out_hosts"]}
+                for r in rc.filter(F.col("n_out_hosts") >= 2)
+                .orderBy(F.desc("reciprocity"), F.desc("n_out_hosts"),
+                         F.asc("host"))
+                .limit(args.top).collect()
+            ],
+        }
+        rc.unpersist()
     if args.spam:
         # link-spam curation: TrustRank from a trusted seed set, then
         # relative spam mass (rank share NOT explained by trust flow)
@@ -898,6 +915,9 @@ def main() -> None:
                     help="report hosts with mean_quality below this")
     wg.add_argument("--hits", action="store_true",
                     help="add HITS hubs/authorities per host")
+    wg.add_argument("--reciprocity", action="store_true",
+                    help="add per-host link reciprocity (link-exchange "
+                    "signal)")
     wg.add_argument("--spam", action="store_true",
                     help="add TrustRank + relative spam-mass per host "
                     "(seeded walk from trusted hosts)")

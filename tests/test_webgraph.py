@@ -682,11 +682,17 @@ def test_cli_webgraph_spam_report(spark, tmp_path_factory, monkeypatch, capsys):
         "sys.argv",
         ["run_pipeline.py", "webgraph", "--pages", str(N_PAGES),
          "--out-dir", out, "--top", "3", "--spam", "--hits",
+         "--reciprocity",
          "--seed-hosts", "site0.example,site1.example",
          "--spam-flag", "0.9"],
     )
     run_pipeline.main()
     got = json.loads(capsys.readouterr().out)
+    # --reciprocity section present with sane ratios
+    rec = got["reciprocity"]
+    assert rec["n_hosts_with_outlinks"] > 0
+    assert all(0.0 <= t["reciprocity"] <= 1.0
+               for t in rec["top_reciprocal_hosts"])
     # --hits section: planted skew puts a low-numbered site on top, and
     # the parquet output round-trips
     top_auth = got["hits"]["top_authorities"][0]
@@ -781,3 +787,36 @@ def test_hits_structure_and_guards(spark):
     assert got["auth1.example"]["authority"] > got["auth2.example"]["authority"]
     with pytest.raises(ValueError):
         ga.hits(hg, src="src_host", dst="dst_host", iterations=0)
+
+
+def test_reciprocity_matches_python_oracle_and_plan(spark, pages_df):
+    """Reciprocity counts equal the pure-Python self-join on the corpus
+    host graph; a hand fixture pins the ratio semantics; the plan is an
+    equi-join, never a cartesian."""
+    pairs = _host_pairs(_oracle_rows())
+    want = {}
+    for s in {p[0] for p in pairs}:
+        outs = {d for (ss, d) in pairs if ss == s}
+        rec = sum(1 for d in outs if (d, s) in pairs)
+        want[s] = (len(outs), rec)
+    hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages_df)))
+    got = {r["host"]: r for r in WG.reciprocity(hg).collect()}
+    assert got.keys() == want.keys()
+    for h, (n_out, n_rec) in want.items():
+        assert got[h]["n_out_hosts"] == n_out
+        assert got[h]["n_reciprocal"] == n_rec
+        assert got[h]["reciprocity"] == pytest.approx(
+            n_rec / n_out, abs=1e-12)
+    plan = WG.reciprocity(hg)._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+    # fixture: a<->b reciprocal, a->c one-way, c has no backlink row
+    hg2 = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("a", "c", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got2 = {r["host"]: r for r in WG.reciprocity(hg2).collect()}
+    assert got2["a"]["n_out_hosts"] == 2 and got2["a"]["n_reciprocal"] == 1
+    assert got2["a"]["reciprocity"] == pytest.approx(0.5)
+    assert got2["b"]["reciprocity"] == pytest.approx(1.0)
+    assert "c" not in got2  # no out-links -> absent, not 0
