@@ -1358,6 +1358,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_reciprocity"] = web_reciprocity
 
+    def web_graph_summary(spark, sf):
+        """One-row host-graph health profile — the same graph_summary
+        operator the entity graph uses, composed onto the domain graph
+        (a crawl operator's first look at link-structure shape)."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+            graph_analytics,
+            webgraph as WG,
+        )
+
+        pages = _kg(spark, "pages")
+        hg = WG.host_graph(WG.resolved_links(WG.outlinks(pages)))
+        return graph_analytics.graph_summary(
+            hg, src="src_host", dst="dst_host"
+        )
+
+    q["web_graph_summary"] = web_graph_summary
+
     def web_spam_mass(spark, sf):
         """Relative spam mass (Gyöngyi et al., VLDB 2006) per ranked
         host: the PageRank fraction NOT explained by trust flow from
@@ -4078,6 +4095,29 @@ def oracle_sql() -> dict[str, str]:
         p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
         SELECT entity_id AS host, ROUND(pagerank, 6) AS trust FROM p10
         WHERE pagerank > 0
+    """
+
+    sqls["web_graph_summary"] = f"""
+        WITH {_web_hosts_cte},
+        g AS (SELECT DISTINCT src_host AS src, dst_host AS dst FROM hg),
+        deg AS (
+          SELECT entity_id, COUNT(*) AS degree FROM (
+            SELECT src AS entity_id FROM g
+            UNION ALL SELECT dst FROM g
+          ) GROUP BY entity_id
+        ),
+        ne AS (SELECT COUNT(*) AS n_edges FROM g)
+        SELECT COUNT(*) AS n_nodes,
+               ne.n_edges AS n_edges,
+               ROUND(ne.n_edges / (COUNT(*) * (COUNT(*) - 1)), 9)
+                 AS density,
+               MAX(degree) AS max_degree,
+               ROUND(AVG(degree), 6) AS avg_degree,
+               quantile_cont(degree, 0.5) AS p50_degree,
+               quantile_cont(degree, 0.9) AS p90_degree,
+               quantile_cont(degree, 0.99) AS p99_degree
+        FROM deg CROSS JOIN ne
+        GROUP BY ne.n_edges
     """
 
     sqls["web_reciprocity"] = f"""

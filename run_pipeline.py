@@ -111,6 +111,8 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print("  analytics [N] - Top-N entities by PageRank + degrees")
             print("  domains [N] - Top-N hosts by domain PageRank "
                   "(webgraph-staged KG)")
+            print("  spam [N] - Top-N hosts by relative spam mass "
+                  "(webgraph-staged KG)")
             print("  ppr <entity> - Entities near <entity> (personalized"
                   " PageRank)")
             print("  global <question> - Community-level context chunks"
@@ -179,6 +181,42 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             print(f"\nTop {len(rows)} hosts by domain PageRank:")
             for r in rows:
                 print(f"  {r['host']}: {r['pagerank']:.4f}")
+            continue
+        if low == "spam" or low.startswith("spam "):
+            import os as _os
+
+            from pyspark.sql import functions as F
+
+            from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+                webgraph as WG,
+            )
+
+            parts = user_input.split()
+            try:
+                top_n = int(parts[1]) if len(parts) > 1 else 10
+            except ValueError:
+                print("Usage: spam [N]")
+                continue
+            hg_dir = _os.path.join(args.kg_dir, "host_graph", "data")
+            if not _os.path.isdir(hg_dir):
+                print("No host_graph stage in this KG "
+                      "(build with process --webgraph).")
+                continue
+            hg = rag.spark.read.parquet(hg_dir)
+            # seeds from the KG's own text snapshot (url/text/lang)
+            seeds = WG.trusted_hosts(rag.table("text"))
+            rows = (
+                WG.spam_mass(hg, seeds)
+                .orderBy(F.desc("spam_mass"), F.desc("pagerank"),
+                         F.asc("host"))
+                .limit(top_n)
+                .collect()
+            )
+            print(f"\nTop {len(rows)} hosts by relative spam mass "
+                  "(trust-seeded):")
+            for r in rows:
+                print(f"  {r['host']}: spam={r['spam_mass']:.4f} "
+                      f"rank={r['pagerank']:.4f} trust={r['trust']:.4f}")
             continue
         if low.startswith("ppr "):
             from pyspark.sql import functions as F

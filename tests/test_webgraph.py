@@ -505,7 +505,7 @@ def test_interactive_domains_command(spark, tmp_path_factory, monkeypatch, capsy
     build_kg(spark, pages, plain, input_fingerprint="dom:25")
 
     monkeypatch.setattr(type(spark), "stop", lambda self: None)
-    script = iter(["domains 3", "exit"])
+    script = iter(["domains 3", "spam 3", "exit"])
     monkeypatch.setattr("builtins.input", lambda prompt="": next(script))
     monkeypatch.setattr(
         "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", staged]
@@ -513,8 +513,9 @@ def test_interactive_domains_command(spark, tmp_path_factory, monkeypatch, capsy
     run_pipeline.main()
     out = capsys.readouterr().out
     assert "hosts by domain PageRank:" in out and "site" in out
+    assert "hosts by relative spam mass" in out and "spam=" in out
 
-    script2 = iter(["domains", "exit"])
+    script2 = iter(["domains", "spam", "exit"])
     monkeypatch.setattr("builtins.input", lambda prompt="": next(script2))
     monkeypatch.setattr(
         "sys.argv", ["run_pipeline.py", "interactive", "--kg-dir", plain]
@@ -522,6 +523,7 @@ def test_interactive_domains_command(spark, tmp_path_factory, monkeypatch, capsy
     run_pipeline.main()
     out2 = capsys.readouterr().out
     assert "No domain_rank stage" in out2
+    assert "No host_graph stage" in out2
 
 
 def test_page_links_deterministic_and_independent_of_body_stream():
