@@ -99,6 +99,11 @@ def _inner(cpus: int, n_edges: int, n_nodes: int) -> None:
     n_ppr = pm.count()
     timings["ppr_many32_5it_sec"] = round(time.perf_counter() - t0, 2)
 
+    t0 = time.perf_counter()
+    ht = ga.hits(edges, iterations=5)
+    n_hits = ht.count()
+    timings["hits_5it_sec"] = round(time.perf_counter() - t0, 2)
+
     total = round(sum(timings.values()), 2)
     print(
         json.dumps(
@@ -109,14 +114,16 @@ def _inner(cpus: int, n_edges: int, n_nodes: int) -> None:
                 **timings,
                 "total_sec": total,
                 "edges_per_sec": round(
-                    # 5+5+5 iterations + 3 hops scan-equivalents
-                    n_edges * 18 / total
+                    # 5+5+5 rank iterations + 3 hops + 5 HITS iterations
+                    # at 2 edge-passes each = 28 edge-scan equivalents
+                    n_edges * 28 / total
                 ),
                 "checks": {
                     "pagerank_rows": n_pr,
                     "communities": n_comm,
                     "khop_rows": n_kh,
                     "ppr_rows": n_ppr,
+                    "hits_rows": n_hits,
                 },
             }
         )
