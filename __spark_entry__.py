@@ -1375,6 +1375,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_graph_summary"] = web_graph_summary
 
+    def web_url_rank(spark, sf):
+        """URL-level PageRank — the corpus-sized rank (|urls|~|pages|),
+        run through the distributed loop (no local_under): the
+        page-granular sampling weight a training-data pipeline uses.
+        Both endpoints normalized so rank mass lands on one node per
+        resource.  6dp on both sides."""
+        from hybrid_graphrag_with_qdrant_neo4j_spark.operators import webgraph as WG
+
+        pages = _kg(spark, "pages")
+        links = WG.resolved_links(WG.outlinks(pages))
+        r = WG.url_rank(links)
+        return r.select("url", F.round("pagerank", 6).alias("pagerank"))
+
+    q["web_url_rank"] = web_url_rank
+
     def web_spam_mass(spark, sf):
         """Relative spam mass (Gyöngyi et al., VLDB 2006) per ranked
         host: the PageRank fraction NOT explained by trust flow from
@@ -4095,6 +4110,40 @@ def oracle_sql() -> dict[str, str]:
         p0 AS (SELECT entity_id, restart AS pagerank, restart FROM rs){_ppr_iters}
         SELECT entity_id AS host, ROUND(pagerank, 6) AS trust FROM p10
         WHERE pagerank > 0
+    """
+
+    # url-level PageRank twin: both endpoints run the normalize_url
+    # regexp chain (same patterns as the web_url_dedup twin), then the
+    # standard unrolled 10-iteration walk over the DISTINCT url pairs
+    def _sql_norm_url(col: str) -> str:
+        uf = f"regexp_replace({col}, '#.*$', '')"
+        head = (
+            "regexp_replace(regexp_replace(lower(regexp_extract("
+            + uf
+            + ", '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1)), "
+            "'^(http://[^/:]+):80$', '\\1'), "
+            "'^(https://[^/:]+):443$', '\\1')"
+        )
+        tail = (
+            "regexp_replace(" + uf
+            + ", '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', '')"
+        )
+        return f"regexp_replace({head} || {tail}, '/+$', '')"
+
+    sqls["web_url_rank"] = f"""
+        WITH {_web_res_cte},
+        g AS (
+          SELECT DISTINCT {_sql_norm_url("src_url")} AS src,
+                          {_sql_norm_url("dst_url")} AS dst
+          FROM res WHERE dst_url IS NOT NULL
+        ),
+        prnodes AS (
+          SELECT src AS entity_id FROM g UNION SELECT dst FROM g
+        ),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM g GROUP BY src),
+        ge AS (SELECT g.src, g.dst, od.outdeg FROM g JOIN od ON g.src = od.src),
+        r0 AS (SELECT entity_id, 1.0 AS pagerank FROM prnodes){_pr_iters}
+        SELECT entity_id AS url, ROUND(pagerank, 6) AS pagerank FROM r10
     """
 
     sqls["web_graph_summary"] = f"""

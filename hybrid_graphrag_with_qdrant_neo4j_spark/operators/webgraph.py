@@ -175,6 +175,37 @@ def domain_rank(hgraph: DataFrame, damping: float = 0.85,
     return r.select(F.col("entity_id").alias("host"), "pagerank")
 
 
+def url_rank(links: DataFrame, damping: float = 0.85,
+             iterations: int = 10,
+             local_under: int | None = None) -> DataFrame:
+    """(url, pagerank) — PageRank over the URL-level link graph
+    (:func:`resolved_links` output with both endpoints normalized via
+    :func:`normalize_url`), the page-granular authority signal a
+    training-data sampler weights individual documents by, where
+    :func:`domain_rank` can only weight whole hosts.
+
+    UNLIKE the host-level ranks, this graph is CORPUS-SIZED — |urls| ~
+    |pages| — so it is the one webgraph operator whose cost scales with
+    crawl bytes, which is why ``local_under`` defaults to None (the
+    distributed loop: edge table repartitioned+persisted once, each of
+    the 10 iterations shuffles only rank-sized rows; see
+    graph_analytics.pagerank).  At 100 TB this is the canonical
+    web-scale iterative job; the per-iteration plan is pinned by
+    `test_pagerank_iteration_reuses_cached_edges`.  Normalizing both
+    endpoints first collapses fragment/port/case/trailing-slash
+    variants so rank mass lands on one node per resource instead of
+    splitting across crawl-record spellings."""
+    g = links.select(
+        normalize_url("src_url").alias("src"),
+        normalize_url("dst_url").alias("dst"),
+    )
+    r = graph_analytics.pagerank(
+        g, src="src", dst="dst",
+        damping=damping, iterations=iterations, local_under=local_under,
+    )
+    return r.select(F.col("entity_id").alias("url"), "pagerank")
+
+
 def normalize_url(url_col) -> Column:
     """Crawl-canonical url form: strip the fragment, lowercase the
     scheme+host (never the path — paths are case-significant), drop the

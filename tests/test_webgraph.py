@@ -822,3 +822,31 @@ def test_reciprocity_matches_python_oracle_and_plan(spark, pages_df):
     assert got2["a"]["reciprocity"] == pytest.approx(0.5)
     assert got2["b"]["reciprocity"] == pytest.approx(1.0)
     assert "c" not in got2  # no out-links -> absent, not 0
+
+
+def test_url_rank_matches_python_oracle(spark, pages_df):
+    """URL-level PageRank equals the pure-python walk over the
+    normalized url pairs; variant spellings collapse onto one node."""
+    def norm(u):
+        u = re.sub(r"#.*$", "", u)
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$", u)
+        head, tail = m.group(1).lower(), m.group(2)
+        head = re.sub(r"^(http://[^/:]+):80$", r"\1", head)
+        head = re.sub(r"^(https://[^/:]+):443$", r"\1", head)
+        return re.sub(r"/+$", "", head + tail)
+
+    pairs = {(norm(s), norm(d)) for s, d in _oracle_links(_oracle_rows())}
+    nodes = sorted({u for p in pairs for u in p})
+    outdeg = Counter(s for s, _ in pairs)
+    rank = {n: 1.0 for n in nodes}
+    for _ in range(10):
+        mass = defaultdict(float)
+        for s, d in sorted(pairs):
+            mass[d] += rank[s] / outdeg[s]
+        rank = {n: 0.15 + 0.85 * mass.get(n, 0.0) for n in nodes}
+
+    links = WG.resolved_links(WG.outlinks(pages_df))
+    got = {r["url"]: r["pagerank"] for r in WG.url_rank(links).collect()}
+    assert got.keys() == rank.keys()
+    for n in rank:
+        assert got[n] == pytest.approx(rank[n], abs=1e-9)
