@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Scaling evidence for URL-level PageRank (webgraph.url_rank) — the
+one webgraph operator whose graph is CORPUS-SIZED (|urls| ~ |pages|),
+i.e. the canonical web-scale iterative job.  Protocol shared with
+webgraph_bench.py / analytics_bench.py: the pages parquet is generated
+once and read by both taskset-pinned levels in fresh JVMs; steal is
+measured around each level; the link table is extracted and persisted
+BEFORE the timed region so the measurement isolates the iterative rank
+(extraction scaling is webgraph_bench's job).
+
+Usage:
+  python scripts/urlrank_bench.py --pages 2000000 --low 2 --high 8
+      appends the result to BENCH/urlrank_scaling.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+STEAL_LIMIT = int(os.environ.get("SPARK_GRAFT_STEAL_LIMIT", "3000"))
+
+
+def _steal() -> int:
+    return int(open("/proc/stat").readline().split()[8])
+
+
+def _ensure_pages(n_pages: int, path: str) -> None:
+    if os.path.isdir(path):
+        return
+    sys.path.insert(0, REPO)
+    from hybrid_graphrag_with_qdrant_neo4j_spark import corpus
+    from hybrid_graphrag_with_qdrant_neo4j_spark.session import get_spark
+
+    spark = get_spark(app_name="urlrank_bench_gen", master="local[16]",
+                      shuffle_partitions=32)
+    corpus.pages_spark_df(spark, n_pages, partitions=64).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.stop()
+
+
+def _inner(cpus: int, pages_path: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import SparkSession
+
+    from hybrid_graphrag_with_qdrant_neo4j_spark.operators import (
+        webgraph as WG,
+    )
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("urlrank_bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 4, 32)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages = spark.read.parquet(pages_path)
+    links = WG.resolved_links(WG.outlinks(pages)).persist()
+    n_links = links.count()  # materialize outside the timed region
+
+    t0 = time.perf_counter()
+    r = WG.url_rank(links)  # 10 iterations, distributed loop
+    n_urls = r.count()
+    rank_sec = round(time.perf_counter() - t0, 2)
+
+    print(
+        json.dumps(
+            {
+                "cpus": cpus,
+                "n_links": n_links,
+                "n_urls": n_urls,
+                "rank10_sec": rank_sec,
+                # 10 iterations == 10 passes over the distinct edge table
+                "link_iterations_per_sec": round(n_links * 10 / rank_sec),
+            }
+        )
+    )
+    spark.stop()
+
+
+def run_level(cpus: int, pages_path: str, max_tries: int = 3) -> dict:
+    last = None
+    for _ in range(max_tries):
+        s0 = _steal()
+        cmd = [
+            "taskset", "-c", f"0-{cpus - 1}",
+            sys.executable, os.path.abspath(__file__),
+            "--inner", "--cpus", str(cpus), "--pages-path", pages_path,
+        ]
+        out_txt = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO
+        ).stdout.strip().splitlines()
+        steal = _steal() - s0
+        out = json.loads(out_txt[-1])
+        out["steal_ticks"] = steal
+        last = out
+        print(f"[cpus={cpus}] rank10={out['rank10_sec']}s "
+              f"link-it/s={out['link_iterations_per_sec']} steal={steal}",
+              file=sys.stderr)
+        if steal <= STEAL_LIMIT:
+            return out
+        print(f"[cpus={cpus}] steal {steal} > {STEAL_LIMIT}: retrying",
+              file=sys.stderr)
+    return last
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--inner", action="store_true")
+    ap.add_argument("--cpus", type=int, default=8)
+    ap.add_argument("--pages", type=int, default=2_000_000)
+    ap.add_argument("--pages-path", default=None)
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.inner:
+        _inner(args.cpus, args.pages_path)
+        return
+
+    pages_path = args.pages_path or f"/tmp/urlrank_pages_{args.pages}"
+    _ensure_pages(args.pages, pages_path)
+
+    lo = run_level(args.low, pages_path)
+    hi = run_level(args.high, pages_path)
+    assert (lo["n_links"], lo["n_urls"]) == (hi["n_links"], hi["n_urls"])
+    speedup = lo["rank10_sec"] / hi["rank10_sec"]
+    eff = speedup / (args.high / args.low)
+    result = {
+        "job": "url_rank(10it, distributed, corpus-sized graph)",
+        "pages": args.pages,
+        "n_links": lo["n_links"],
+        "n_urls": lo["n_urls"],
+        "low": {k: lo[k] for k in lo if k not in ("n_links", "n_urls")},
+        "high": {k: hi[k] for k in hi if k not in ("n_links", "n_urls")},
+        "speedup": round(speedup, 3),
+        "efficiency": round(eff, 3),
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "BENCH", "urlrank_scaling.json"), "w") as fh:
+        json.dump(result, fh, indent=2)
+
+
+if __name__ == "__main__":
+    main()
