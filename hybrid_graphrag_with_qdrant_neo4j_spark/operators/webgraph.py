@@ -357,7 +357,8 @@ def trust_rank(hgraph: DataFrame, seeds, damping: float = 0.85,
 
 def spam_mass(hgraph: DataFrame, seeds, damping: float = 0.85,
               iterations: int = 10,
-              local_under: int | None = 50_000) -> DataFrame:
+              local_under: int | None = 50_000,
+              rank: DataFrame | None = None) -> DataFrame:
     """(host, pagerank, trust, spam_mass) — relative spam-mass
     estimate per ranked host (Gyöngyi et al., "Link Spam Detection
     Based on Mass Estimation", VLDB 2006): the fraction of a host's
@@ -377,9 +378,15 @@ def spam_mass(hgraph: DataFrame, seeds, damping: float = 0.85,
 
     One rank each side, one broadcastable two-row sum, one hash join on
     host — no corpus rescans.  Ordering within equal scores is not
-    defined; consumers rank by (spam_mass, pagerank)."""
-    pr = domain_rank(hgraph, damping=damping, iterations=iterations,
-                     local_under=local_under)
+    defined; consumers rank by (spam_mass, pagerank).
+
+    ``rank``: an already-computed (host, pagerank) DataFrame for the
+    SAME host graph / damping / iterations (e.g. the pipeline's
+    materialized ``domain_rank`` stage) — skips recomputing the
+    unseeded walk.  Caller owns the consistency contract."""
+    pr = rank if rank is not None else domain_rank(
+        hgraph, damping=damping, iterations=iterations,
+        local_under=local_under)
     tr = trust_rank(hgraph, seeds, damping=damping, iterations=iterations,
                     local_under=local_under)
     p_sum = pr.agg(F.sum("pagerank").alias("_ps"))

@@ -99,6 +99,21 @@ def _data_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage, "data")
 
 
+def amend_manifest(out_dir: str, stage: str, extra: dict) -> None:
+    """Atomically merge ``extra`` into a completed stage's manifest —
+    for stage-specific metadata (e.g. seed-selection params) the
+    generic :func:`run_stage` writer doesn't know about.  No-op when
+    the stage has no manifest (never completed)."""
+    man = load_manifest(out_dir, stage)
+    if man is None:
+        return
+    man.update(extra)
+    tmp = _manifest_path(out_dir, stage) + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        json.dump(man, fh, indent=2)
+    os.replace(tmp, _manifest_path(out_dir, stage))
+
+
 def load_manifest(out_dir: str, stage: str) -> Optional[dict]:
     path = _manifest_path(out_dir, stage)
     if not os.path.exists(path):

@@ -844,6 +844,30 @@ def append_batch(
             _bump_manifest(
                 kg_dir, "domain_rank", batch_id, rank.count() - n_rank_old
             )
+            if os.path.isdir(_data_path(kg_dir, "spam_mass")):
+                # spam-mass maintenance: seeds re-derived from the
+                # UPDATED text snapshot (already appended above) with
+                # the thresholds the build recorded in the manifest;
+                # the unseeded walk reuses the rank just recomputed —
+                # the result is what a fresh build over the merged
+                # corpus would materialize (SET-EQUAL, pytest-pinned).
+                sman = load_manifest(kg_dir, "spam_mass") or {}
+                sp = sman.get("params", {})
+                n_sm_old = spark.read.parquet(
+                    _data_path(kg_dir, "spam_mass")).count()
+                seeds = WG.trusted_hosts(
+                    spark.read.parquet(_data_path(kg_dir, "text")),
+                    min_pages=sp.get("seed_min_pages", 2),
+                    min_quality=sp.get("seed_min_quality", 0.5),
+                )
+                sm = WG.spam_mass(
+                    spark.read.parquet(_data_path(kg_dir, "host_graph")),
+                    seeds, rank=rank,
+                ).localCheckpoint()
+                _replace_snapshot(sm, kg_dir, "spam_mass")
+                _bump_manifest(
+                    kg_dir, "spam_mass", batch_id, sm.count() - n_sm_old
+                )
         stats["webgraph_appended"] = True
 
     for df in (chunks_b, triples_b, emb_b, batch_ents, new_ents, relabel,

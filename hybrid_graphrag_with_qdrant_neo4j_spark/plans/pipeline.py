@@ -31,7 +31,7 @@ import time
 from ..operators import chunker, components, linking, ngrams, triples as triples_op
 from ..functions import embedding as E
 from ..sources import pages as pages_src
-from .checkpoint import load_manifest, run_stage, _manifest_path
+from .checkpoint import amend_manifest, load_manifest, run_stage, _manifest_path
 
 
 @dataclass
@@ -119,6 +119,8 @@ def build_kg(
     ann_bits: int = 8,
     ann_tables: int = 4,
     webgraph: bool = False,
+    spam_seed_min_pages: int = 2,
+    spam_seed_min_quality: float = 0.5,
 ) -> KGBuildResult:
     """Run (or resume) the full pipeline; returns all materialized tables.
 
@@ -167,7 +169,33 @@ def build_kg(
             lambda: WG.host_graph(WG.resolved_links(WG.outlinks(pages))),
         )
         fp_rank = _fp("domain_rank", fp_hg)
-        stage("domain_rank", fp_rank, lambda: WG.domain_rank(hg_df))
+        rank_df = stage("domain_rank", fp_rank, lambda: WG.domain_rank(hg_df))
+        # link-spam curation stage: TrustRank seeds come from the TEXT
+        # snapshot's quality profile (extracted text == page text by the
+        # byte-identity invariant), the unseeded walk is the already-
+        # materialized domain_rank — only the seeded walk is new work.
+        # Fingerprint chains from the rank chain (which chains from the
+        # pages input) + the seed thresholds.
+        fp_spam = _fp("spam_mass", fp_rank, spam_seed_min_pages,
+                      spam_seed_min_quality)
+        stage(
+            "spam_mass",
+            fp_spam,
+            lambda: WG.spam_mass(
+                hg_df,
+                WG.trusted_hosts(
+                    text_df, min_pages=spam_seed_min_pages,
+                    min_quality=spam_seed_min_quality,
+                ),
+                rank=rank_df,
+            ),
+        )
+        # record the seed thresholds so append_batch's maintenance
+        # re-derives the SAME seed set from the updated text snapshot
+        amend_manifest(out_dir, "spam_mass", {"params": {
+            "seed_min_pages": spam_seed_min_pages,
+            "seed_min_quality": spam_seed_min_quality,
+        }})
 
     fp_chunks = _fp("chunks", fp_pages, max_tokens)
     chunks_df = stage(

@@ -197,18 +197,23 @@ def _interactive_loop(rag, args, input_fn=None) -> None:
             except ValueError:
                 print("Usage: spam [N]")
                 continue
+            sm_dir = _os.path.join(args.kg_dir, "spam_mass", "data")
             hg_dir = _os.path.join(args.kg_dir, "host_graph", "data")
-            if not _os.path.isdir(hg_dir):
+            if _os.path.isdir(sm_dir):
+                # the pipeline materialized (and append-maintains) the
+                # spam_mass stage — read it instead of recomputing
+                sm = rag.spark.read.parquet(sm_dir)
+            elif _os.path.isdir(hg_dir):
+                hg = rag.spark.read.parquet(hg_dir)
+                # seeds from the KG's own text snapshot (url/text/lang)
+                sm = WG.spam_mass(hg, WG.trusted_hosts(rag.table("text")))
+            else:
                 print("No host_graph stage in this KG "
                       "(build with process --webgraph).")
                 continue
-            hg = rag.spark.read.parquet(hg_dir)
-            # seeds from the KG's own text snapshot (url/text/lang)
-            seeds = WG.trusted_hosts(rag.table("text"))
             rows = (
-                WG.spam_mass(hg, seeds)
-                .orderBy(F.desc("spam_mass"), F.desc("pagerank"),
-                         F.asc("host"))
+                sm.orderBy(F.desc("spam_mass"), F.desc("pagerank"),
+                           F.asc("host"))
                 .limit(top_n)
                 .collect()
             )

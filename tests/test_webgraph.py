@@ -459,11 +459,29 @@ def test_build_kg_webgraph_stages_resume_and_append_merge(spark, tmp_path_factor
     pages1 = corpus.pages_spark_df(spark, 30, partitions=4)
     r = build_kg(spark, pages1, out, input_fingerprint="wg:30", webgraph=True)
     assert "host_graph" in r.tables and "domain_rank" in r.tables
+    assert "spam_mass" in r.tables
     assert r.tables["host_graph"].count() > 0
+    # spam stage content == the operator run directly on the same inputs
+    sm_snap = {x["host"]: x["spam_mass"]
+               for x in r.tables["spam_mass"].collect()}
+    sm_want = {x["host"]: x["spam_mass"] for x in WG.spam_mass(
+        r.tables["host_graph"],
+        WG.trusted_hosts(r.tables["text"]),
+    ).collect()}
+    assert sm_snap.keys() == sm_want.keys() and sm_snap
+    for k in sm_want:
+        assert sm_snap[k] == pytest.approx(sm_want[k], abs=1e-9)
+    # the build recorded its seed thresholds for append maintenance
+    from hybrid_graphrag_with_qdrant_neo4j_spark.plans.checkpoint import (
+        load_manifest,
+    )
+    assert load_manifest(out, "spam_mass")["params"] == {
+        "seed_min_pages": 2, "seed_min_quality": 0.5}
 
     r2 = build_kg(spark, pages1, out, input_fingerprint="wg:30", webgraph=True)
     assert "host_graph" in r2.resumed_stages
     assert "domain_rank" in r2.resumed_stages
+    assert "spam_mass" in r2.resumed_stages
 
     pages2 = corpus.pages_spark_df(spark, 12, partitions=2, start=30)
     stats = append_batch(spark, out, pages2, batch_id="wg-b1")
@@ -486,6 +504,19 @@ def test_build_kg_webgraph_stages_resume_and_append_merge(spark, tmp_path_factor
     assert rank_snap.keys() == rank_want.keys()
     for k in rank_want:
         assert rank_snap[k] == pytest.approx(rank_want[k], abs=1e-9)
+
+    # spam snapshot after append == operator over the merged graph with
+    # seeds from the FULL (appended) text snapshot — i.e. what a fresh
+    # build over the concatenated corpus materializes
+    text_full = spark.read.parquet(os.path.join(out, "text", "data"))
+    sm_after = {r["host"]: r["spam_mass"]
+                for r in spark.read.parquet(
+                    os.path.join(out, "spam_mass", "data")).collect()}
+    sm_fresh = {r["host"]: r["spam_mass"] for r in WG.spam_mass(
+        merged, WG.trusted_hosts(text_full)).collect()}
+    assert sm_after.keys() == sm_fresh.keys()
+    for k in sm_fresh:
+        assert sm_after[k] == pytest.approx(sm_fresh[k], abs=1e-9)
 
     # replayed batch is a ledger no-op (snapshot untouched)
     again = append_batch(spark, out, pages2, batch_id="wg-b1")
