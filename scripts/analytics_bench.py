@@ -178,7 +178,7 @@ def main() -> None:
     speedup = lo["total_sec"] / hi["total_sec"]
     eff = speedup / (args.high / args.low)
     result = {
-        "job": "graph_analytics(pagerank5+lpa5+khop3+ppr_many32x5)",
+        "job": "graph_analytics(pagerank5+lpa5+khop3+ppr_many32x5+hits5)",
         "n_edges": args.edges,
         "n_nodes": args.nodes,
         "low": {k: lo[k] for k in lo if k != "checks"},
