@@ -47,6 +47,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fan(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Hash-repartition a low-parallelism scan to the session's full
+    parallelism before compute-heavy per-row work (guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read").  The sf tables are single-file parquet with ONE row
+    group each, so their scans are 1-2 tasks no matter the split config
+    (a row group is the minimum read unit); without this every regex /
+    Arrow-UDF pass over documents/events runs on 1-2 of the N cores.
+    Keyed (hash) repartition, not round-robin: no sort-before-
+    repartition pass, deterministic under retries.  Scale-adaptive by
+    construction — at production file counts the scan already matches
+    the cluster parallelism and the exchange is a no-op cost the planner
+    pays once; results are row-identical (pure repartitioning)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, F.col(key))
+
+
 def _dec_sum(col, alias):
     """Exact order-insensitive money sum: round->decimal->sum->double."""
     return F.sum(F.round(col, 4).cast("decimal(18,4)")).cast("double").alias(alias)
@@ -363,7 +380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- documents: text curation ops ----------------
 
     def doc_unigram_counts(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))  # 1-task scan -> N-way tokenize (guide §2.5)
         toks = docs.select(F.explode(TQ.tokens(F.col("text"))).alias("term"))
         stop = set(__import__(
             "hybrid_graphrag_with_qdrant_neo4j_spark.stopwords", fromlist=["STOPWORDS"]
@@ -379,7 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_unigram_counts"] = doc_unigram_counts
 
     def doc_bigram_counts(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         toks = TQ.tokens(F.col("text"))
         bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
             F.transform(
@@ -398,7 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_bigram_counts"] = doc_bigram_counts
 
     def term_search_docs(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         qterms = spark.createDataFrame(
             [("spark", 1.0), ("join", 1.0), ("window", 1.0), ("stream", 1.0)],
             "term string, score double",
@@ -422,7 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         is returned so a last-ulp score difference at a top-k boundary
         can never flip the row set; scores rounded to 6dp on both
         engines (ln/double reduction order)."""
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         occ = docs.select(
             "doc_id", F.explode(TQ.tokens(F.col("text"))).alias("term")
         )
@@ -438,7 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_search_many_docs(spark, sf):
         """Batch twin: 3 weighted queries ranked in ONE pass over the
         corpus statistics (corpus scanned once, not per query)."""
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         occ = docs.select(
             "doc_id", F.explode(TQ.tokens(F.col("text"))).alias("term")
         )
@@ -460,7 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["bm25_search_many_docs"] = bm25_search_many_docs
 
     def doc_token_stats(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         c = F.col("text")
         return docs.select(
             "doc_id",
@@ -472,7 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_token_stats"] = doc_token_stats
 
     def subword_token_counts(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         return docs.select(
             "doc_id", TQ.bpe_ish_token_count(F.col("text")).alias("n_subwords")
         )
@@ -486,24 +503,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["exact_dedup_docs"] = exact_dedup_docs
 
     def doc_fingerprints(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         return docs.select("doc_id", TQ.fingerprint(F.col("text")).alias("fingerprint"))
 
     q["doc_fingerprints"] = doc_fingerprints
 
     def quality_scores(spark, sf):
-        docs = _t(spark, sf, "documents")
-        return docs.select(
+        # Same output as the straight-line TQ.* projection, restructured
+        # for execution (guide §2.5 + §1.2 per-task work): (1) _fan —
+        # the regex-heavy projection otherwise runs on the 1-task scan;
+        # (2) the expensive shared subexpressions (tokenize, stopword
+        # INSET filter, punct regexp_replace) are computed ONCE in a
+        # separate projection.  The higher-order filter() blocks
+        # whole-stage codegen, so the old single projection evaluated
+        # the tokenizer regex up to 7x per row interpreted, with no CSE.
+        # CollapseProject keeps the split (non-cheap aliases referenced
+        # more than once are not inlined).  Arithmetic is expression-
+        # identical to TQ.stopword_ratio/punct_ratio/quality_score.
+        docs = _fan(_t(spark, sf, "documents"))
+        stop = list(__import__(
+            "hybrid_graphrag_with_qdrant_neo4j_spark.stopwords",
+            fromlist=["STOPWORDS_SORTED"],
+        ).STOPWORDS_SORTED)
+        tokd = docs.select(
+            "doc_id", "text", TQ.tokens(F.col("text")).alias("_toks")
+        )
+        base = tokd.select(
             "doc_id",
-            F.round(TQ.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-            F.round(TQ.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
-            TQ.quality_score(F.col("text")).alias("quality"),
+            F.size(F.col("_toks")).alias("_ntok"),
+            F.size(
+                F.filter(F.col("_toks"), lambda t: t.isin(stop))
+            ).alias("_nstop"),
+            F.length(F.regexp_replace(F.col("text"), "[^.,;:!?]", "")).alias(
+                "_npunct"
+            ),
+            F.length(F.col("text")).alias("_nlen"),
+        )
+        stop_ratio = F.when(F.col("_ntok") == 0, F.lit(0.0)).otherwise(
+            F.col("_nstop").cast("double") / F.col("_ntok")
+        )
+        punct_ratio = F.when(F.col("_nlen") == 0, F.lit(0.0)).otherwise(
+            F.col("_npunct").cast("double") / F.col("_nlen")
+        )
+        len_score = F.least(F.col("_ntok").cast("double") / F.lit(100.0), F.lit(1.0))
+        stop_score = F.least(stop_ratio * F.lit(3.0), F.lit(1.0))
+        punct_penalty = F.greatest(
+            F.lit(1.0) - punct_ratio * F.lit(5.0), F.lit(0.0)
+        )
+        return base.select(
+            "doc_id",
+            F.round(stop_ratio, 6).alias("stopword_ratio"),
+            F.round(punct_ratio, 6).alias("punct_ratio"),
+            F.round(
+                F.lit(0.4) * len_score
+                + F.lit(0.3) * stop_score
+                + F.lit(0.3) * punct_penalty,
+                6,
+            ).alias("quality"),
         )
 
     q["quality_scores"] = quality_scores
 
     def lang_id_heuristic(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         return docs.select(
             "doc_id",
             TQ.predict_lang(F.col("text")).alias("pred_lang"),
@@ -527,7 +589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["jaccard_near_dups"] = jaccard_near_dups
 
     def stopword_ratio_by_lang(spark, sf):
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         per_doc = docs.select(
             "lang", F.round(TQ.stopword_ratio(F.col("text")), 6).alias("r")
         )
@@ -563,7 +625,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         bucket (4 bits -> 16 buckets) restricts the self-join; the oracle
         replicates the identical blocking, so this checks the blocked
         operator — the shape that survives 100x — not the O(n²) verifier."""
-        emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") % 4 == 0)
+        emb = _fan(
+            _t(spark, sf, "embeddings").filter(F.col("vec_id") % 4 == 0), "vec_id"
+        )
         return dedup.embedding_near_dup_pairs(
             emb,
             threshold=0.30,
@@ -575,7 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- events: trend analytics sidecar ----------------
 
     def daily_event_counts(spark, sf):
-        return trends.daily_counts(_t(spark, sf, "events"))
+        return trends.daily_counts(_fan(_t(spark, sf, "events"), "event_id"))
 
     q["daily_event_counts"] = daily_event_counts
 
@@ -664,7 +728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["early_warnings"] = early_warnings
 
     def trend_impact(spark, sf):
-        return trends.trend_impact(_t(spark, sf, "events"))
+        # events is a single-row-group file: both shared base aggregates
+        # (daily_counts, per_user_first_day) otherwise date_format+agg 1M
+        # rows on ONE task; the fanned exchange is reused by both bases
+        return trends.trend_impact(_fan(_t(spark, sf, "events"), "event_id"))
 
     q["trend_impact"] = trend_impact
 
@@ -834,7 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "substring(text, 1, greatest(int(length(text) * 0.9), 1))"
             ).alias("text"),
         )
-        base = docs.select("doc_id", "text").unionByName(dups)
+        base = _fan(docs.select("doc_id", "text").unionByName(dups))
         sigs = dedup.minhash_signatures(base, num_hashes=64, shingle_k=3)
         path = os.path.join(_KG_DIR, "minhash_sigs.parquet")
         sigs.write.mode("overwrite").parquet(path)
@@ -860,12 +927,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_corpus_docs"] = dedup_corpus_docs
 
     def simhash_fingerprints(spark, sf):
-        return dedup.simhash_docs(_t(spark, sf, "documents"))
+        # per-token md5 UDF on a 1-task scan -> fan to N cores first
+        return dedup.simhash_docs(_fan(_t(spark, sf, "documents")))
 
     q["simhash_fingerprints"] = simhash_fingerprints
 
     def curated_corpus(spark, sf):
-        return TQ.curate_corpus(_t(spark, sf, "documents"), quality_min=0.5)
+        return TQ.curate_corpus(_fan(_t(spark, sf, "documents")), quality_min=0.5)
 
     q["curated_corpus"] = curated_corpus
 
@@ -1688,7 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def term_search_many_docs(spark, sf):
         """Batch term search over the documents table: 3 queries' term
         lists joined + aggregated + per-query top-k in one plan."""
-        docs = _t(spark, sf, "documents")
+        docs = _fan(_t(spark, sf, "documents"))
         qterms = spark.createDataFrame(
             [
                 ("q0", "spark", 1.0), ("q0", "join", 1.0), ("q0", "window", 1.0),

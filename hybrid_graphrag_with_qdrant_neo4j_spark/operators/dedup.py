@@ -115,6 +115,16 @@ def _sig_agreement_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series((A == B).mean(axis=1))
 
 
+# Optimizer barrier, not a semantics statement (the functions are pure):
+# when a UDF-computed score is BOTH filtered on and projected out, the
+# filter-pushdown rewrite duplicates the Python evaluation — the plan
+# grows two ArrowEvalPython nodes for one call and every candidate pair
+# is scored twice (guide §4.4).  Non-deterministic expressions are never
+# duplicated or reordered, so each survives as a single node.
+_sig_agreement_once = _sig_agreement_udf.asNondeterministic()
+_cosine_pairs_once = F.pandas_udf(E.cosine_pairs_udf.func, T.DoubleType()).asNondeterministic()
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame,
     num_bands: int = 16,
@@ -154,7 +164,7 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return (
-        cand.withColumn("est_jaccard", _sig_agreement_udf("sig_a", "sig_b"))
+        cand.withColumn("est_jaccard", _sig_agreement_once("sig_a", "sig_b"))
         .filter(F.col("est_jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -419,7 +429,7 @@ def embedding_near_dup_pairs(
         cond = cond & (F.col("l._blk") == F.col("r._blk"))
     return (
         l.join(r, cond)
-        .withColumn("cos", E.cosine_pairs_udf(F.col("l.emb"), F.col("r.emb")))
+        .withColumn("cos", _cosine_pairs_once(F.col("l.emb"), F.col("r.emb")))
         .filter(F.col("cos") >= threshold)
         .select(
             F.col("l.vid").alias("id_a"),
