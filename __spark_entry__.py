@@ -962,7 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rows = [
                 (i, [float(v) for v in cents[i]]) for i in range(cents.shape[0])
             ]
-            spark.createDataFrame(rows, "cid int, cemb array<double>").coalesce(
+            # repartition(1), not coalesce(1): coalescing createDataFrame
+            # slices into one task pays N sequential python-worker
+            # roundtrips (~5 s at local[32] for 16 rows)
+            spark.createDataFrame(rows, "cid int, cemb array<double>").repartition(
                 1
             ).write.mode("overwrite").parquet(
                 os.path.join(_KG_DIR, "ivf_centroids.parquet")
@@ -1738,7 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ],
             "query_id string, embedding array<float>",
         )
-        qdf.coalesce(1).write.mode("overwrite").parquet(
+        qdf.repartition(1).write.mode("overwrite").parquet(
             os.path.join(_KG_DIR, "query_embs.parquet")
         )
         # pass the batch as a DATAFRAME: exercises the distributed
