@@ -215,7 +215,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- TPC-H-ish relational core ----------------
 
     def q1_pricing_summary(spark, sf):
-        li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+        # lineitem is a single file with 6 row groups -> the scan (and
+        # the decimal-heavy partial aggregate fused into it) runs on at
+        # most 6 tasks; fanning moves the partial agg to full
+        # parallelism (guide §2.5).  Filter + column pruning still push
+        # below the exchange, so only surviving narrow rows shuffle.
+        # Measured 2.46 -> 1.49 s warm at sf1.0 / local[32].
+        li = _fan(_t(spark, sf, "lineitem"), "l_orderkey").filter(
+            F.col("l_shipdate") <= "1998-09-02"
+        )
         return li.groupBy("l_returnflag", "l_linestatus").agg(
             _dec_sum(F.col("l_quantity"), "sum_qty"),
             _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
@@ -230,7 +238,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q3_shipping_priority(spark, sf):
         cust = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-        orders = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1995-03-15")
+        # SHUFFLE_HASH instead of the auto-chosen broadcast: building a
+        # ~700k-row hashed relation on the driver and shipping it is the
+        # slowest leg (guide §3.1); per-partition hash build after a
+        # shuffle is cheaper here and is the only strategy that exists
+        # at production orders-table sizes anyway.
+        orders = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_orderdate") < "1995-03-15")
+            .hint("SHUFFLE_HASH")
+        )
         li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -253,7 +270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q5_region_revenue(spark, sf):
         li = _t(spark, sf, "lineitem")
-        orders = _t(spark, sf, "orders")
+        # see q3: shuffled hash join beats broadcasting the 1.5M-row
+        # orders relation (2.9 -> 1.4 s warm at sf1.0); the small dims
+        # (customer/supplier/nation) stay broadcast.
+        orders = _t(spark, sf, "orders").hint("SHUFFLE_HASH")
         cust = _t(spark, sf, "customer")
         supp = _t(spark, sf, "supplier")
         nation = _t(spark, sf, "nation")

@@ -29,6 +29,18 @@ def _persist(df: DataFrame) -> DataFrame:
     return df.persist()
 
 
+def _persist_by_type(df: DataFrame) -> DataFrame:
+    """Persist a shared per-event_type base ALREADY partitioned on
+    event_type with the session's shuffle-partition count: every
+    downstream window (partitionBy event_type) and per-type groupBy then
+    reads the cache with its required partitioning in place and elides
+    its own exchange — the composites' plans drop ~6 tiny shuffles
+    (guide §2.4: two operations keyed the same way share one exchange).
+    Row-identical to a plain persist."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return _persist(df.repartition(n, F.col("event_type")))
+
+
 def release_caches() -> None:
     """Unpersist every shared base persisted by this module (blocking=False;
     plan-keyed dedup means double-unpersist of the same plan is harmless)."""
@@ -384,8 +396,8 @@ def early_warnings(events: DataFrame) -> DataFrame:
     # O(types x users) — small at any corpus scale.  Spark's cache is
     # keyed by logical plan, so repeated calls share one entry; see
     # release_caches() for the lifecycle across distinct inputs.
-    daily = _persist(daily_counts(events))
-    per_user = _persist(per_user_first_day(events))
+    daily = _persist_by_type(daily_counts(events))
+    per_user = _persist_by_type(per_user_first_day(events))
     s = (
         latest_velocity(events, daily)
         .join(influence_weighted_prediction(events, daily, per_user), "event_type")
@@ -423,8 +435,8 @@ def trend_impact(events: DataFrame) -> DataFrame:
     """Marketing impact formulas (marketing_insights.py:18-81), weights
     and clamps verbatim; trend-type engagement/longevity factor tables
     keyed on event_type (the reference keys on TrendType)."""
-    daily = _persist(daily_counts(events))       # see early_warnings note
-    per_user = _persist(per_user_first_day(events))
+    daily = _persist_by_type(daily_counts(events))   # see early_warnings note
+    per_user = _persist_by_type(per_user_first_day(events))
     s = (
         _type_totals(events, daily)
         .join(latest_velocity(events, daily), "event_type")
