@@ -593,6 +593,12 @@ def hits(
             prev = (h, a)
     out = h.join(a, "entity_id").select("entity_id", "hub", "authority")
     out = out.localCheckpoint(eager=True)
+    if prev is not None:
+        # ADVICE r5: the final iteration's checkpointed h/a were held in
+        # prev and never released — two extra materialized score vectors
+        # per call until the ContextCleaner got to them
+        prev[0].unpersist()
+        prev[1].unpersist()
     g.unpersist()
     nodes.unpersist()
     return out

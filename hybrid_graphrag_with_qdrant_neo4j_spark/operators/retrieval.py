@@ -491,15 +491,25 @@ def queries_entity_candidates(queries: DataFrame) -> DataFrame:
 
 def normalize_scores(results: DataFrame, score_col: str = "score") -> DataFrame:
     """Min-max normalize to [0,1]; equal min/max -> all 1.0
-    (retrieval.py:560-562 guard).  Uses an unpartitioned window over the
-    (tiny, already top-k'd) result set — never applied to large inputs."""
-    w = Window.partitionBy()
-    mn, mx = F.min(score_col).over(w), F.max(score_col).over(w)
-    return results.withColumn(
-        score_col,
-        F.when(mx == mn, F.lit(1.0)).otherwise(
-            (F.col(score_col) - mn) / (mx - mn)
-        ),
+    (retrieval.py:560-562 guard).  Two-row aggregate + broadcast
+    cross join instead of an unpartitioned window: the old
+    ``Window.partitionBy()`` funnelled the ENTIRE input through one
+    partition (WindowExec "No Partition Defined"), which hybrid_fuse
+    hits with pre-top-k inputs (VERDICT r5 'what's wrong' #1 / SURVEY
+    A3).  The min/max aggregate is map-side partial + a 1-row exchange
+    at any input size; arithmetic is unchanged."""
+    stats = results.agg(
+        F.min(score_col).alias("_mn"), F.max(score_col).alias("_mx")
+    )
+    return (
+        results.crossJoin(F.broadcast(stats))
+        .withColumn(
+            score_col,
+            F.when(F.col("_mx") == F.col("_mn"), F.lit(1.0)).otherwise(
+                (F.col(score_col) - F.col("_mn")) / (F.col("_mx") - F.col("_mn"))
+            ),
+        )
+        .drop("_mn", "_mx")
     )
 
 

