@@ -673,7 +673,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---------------- events: trend analytics sidecar ----------------
 
     def daily_event_counts(spark, sf):
-        return trends.daily_counts(_fan(_t(spark, sf, "events"), "event_id"))
+        # measured: fanning regresses this one (~0.9 -> ~1.1 s warm at
+        # sf1.0) — the single aggregate's map-side combine collapses 1M
+        # rows to ~150 before any exchange, so the fan's full-row
+        # shuffle costs more than the 1-task date_format it saves
+        return trends.daily_counts(_t(spark, sf, "events"))
 
     q["daily_event_counts"] = daily_event_counts
 
